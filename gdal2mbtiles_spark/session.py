@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the tile data plane.
+
+The engine moves 262,144-byte RGBA tile buffers through Arrow batches;
+the defaults below keep batches bounded (maxRecordsPerBatch) and enable
+AQE so skewed tile-hash or cell joins re-plan at runtime (SURVEY.md §4
+R7/R8).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+# One RGBA tile is 256*256*4 bytes; cap Arrow batches at ~64 MiB of px.
+ARROW_TILE_BATCH = 256
+
+
+def get_spark(cores: Optional[int] = None,
+              app: str = "gdal2mbtiles_spark",
+              shuffle_partitions: Optional[int] = None,
+              ui: bool = False) -> SparkSession:
+    """Build (or fetch) a local SparkSession.
+
+    cores defaults to $SPARK_GRAFT_CPUS (driver contract) or 32.  On a
+    real cluster the same engine code runs unchanged — only
+    master/partition settings differ (spark-submit --py-files).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Make the package importable in executor Python workers even when
+    # the driver wasn't launched from the repo root (clusters ship it
+    # via spark-submit --py-files; local workers inherit this env).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pkg_root + os.pathsep + pypath
+                                    if pypath else pkg_root)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_TILE_BATCH))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "true" if ui else "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
