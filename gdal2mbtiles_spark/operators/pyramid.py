@@ -162,22 +162,35 @@ def pyramid_tiles(spark: SparkSession, native: DataFrame,
                   meta: RasterMeta,
                   min_resolution: Optional[int] = None,
                   max_resolution: Optional[int] = None,
-                  checkpoint_interval: int = 4
+                  checkpoint_interval: int = 4,
+                  persist_levels: bool = True
                   ) -> Dict[int, DataFrame]:
     """All pyramid levels as {z: tiles DataFrame}.
 
     Downsampling chains one shuffle per level with geometrically
-    decaying volume (vips.py:820-826's same decay); every
-    ``checkpoint_interval`` levels the lineage is cut with
-    ``localCheckpoint`` exactly like the reference's
-    IMAGE_BUFFER_INTERVAL=4 render-to-buffer (vips.py:723-725,838-853).
-    Upsampling explodes per level from the previous one (NN stretch
-    composes: repeat(2) twice == repeat(4))."""
+    decaying volume (vips.py:820-826's same decay).  Each level is
+    persisted (memory-then-disk) so consuming the union doesn't
+    recompute the kernel chain once per level — the Spark analogue of
+    the reference's render-to-buffer checkpointing
+    (IMAGE_BUFFER_INTERVAL, vips.py:723-725,838-853); every
+    ``checkpoint_interval`` levels the logical lineage is additionally
+    cut with ``localCheckpoint`` to keep plans shallow on deep
+    pyramids.  Upsampling explodes per level from the previous one
+    (NN stretch composes: repeat(2) twice == repeat(4))."""
+    from pyspark import StorageLevel
+
     native_z = meta.native_resolution()
     validate_resolutions(native_z, min_resolution, max_resolution,
                          strict=False)
     lo = native_z if min_resolution is None else min_resolution
     hi = native_z if max_resolution is None else max_resolution
+
+    def _buffer(df: DataFrame, depth: int) -> DataFrame:
+        if persist_levels:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if depth % checkpoint_interval == 0:
+            df = df.localCheckpoint(eager=False)
+        return df
 
     levels: Dict[int, DataFrame] = {}
     if lo <= native_z <= hi:
@@ -185,17 +198,13 @@ def pyramid_tiles(spark: SparkSession, native: DataFrame,
 
     cur = native
     for r in range(native_z - 1, lo - 1, -1):
-        cur = downsample_level(cur)
-        if (native_z - r) % checkpoint_interval == 0:
-            cur = cur.localCheckpoint(eager=False)
+        cur = _buffer(downsample_level(cur), native_z - r)
         if r <= hi:
             levels[r] = cur
 
     cur = native
     for r in range(native_z + 1, hi + 1):
-        cur = upsample_level(cur, 1)
-        if (r - native_z) % checkpoint_interval == 0:
-            cur = cur.localCheckpoint(eager=False)
+        cur = _buffer(upsample_level(cur, 1), r - native_z)
         if r >= lo:
             levels[r] = cur
 
