@@ -26,12 +26,18 @@ from gdal2mbtiles_spark.operators.pyramid import (dedup_tiles,
                                                   pyramid_tiles,
                                                   union_levels)
 from gdal2mbtiles_spark.grid import whole_world_raster_meta
+from gdal2mbtiles_spark.operators.spatial import (
+    extract_poly_stats, haversine_sql, knn_join, point_in_polygon_join)
 from gdal2mbtiles_spark.sources.pages import (pages_sql, synth_pages,
                                               with_geo)
+from gdal2mbtiles_spark.sources.vectors import (
+    polygon_edges_sql, polygons_df, query_points_df, query_points_sql)
 
 PAGES_N = 20_000   # correctness-scale pages table (both engines)
 PYRAMID_N = 5_000  # smaller N for the kernel-heavy pyramid queries
 BURN_Z = 4
+KNN_N = 10_000     # points for the kNN query
+KNN_Q = 100        # kNN query points
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -118,8 +124,35 @@ def _q_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_map bigint, n_images bigint")
 
 
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: cell-partitioned broadcast point-in-polygon join."""
+    pages = with_geo(synth_pages(spark, PAGES_N))
+    polys = polygons_df(spark, 50)
+    return point_in_polygon_join(pages, polys)
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: exact kNN via iterative cell-ring join + window top-k."""
+    pages = with_geo(synth_pages(spark, KNN_N))
+    queries_df = query_points_df(spark, KNN_Q)
+    return (knn_join(pages, queries_df, res=5)
+            .select("query_id", "rank", "url"))
+
+
+def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: raster->vector extract — pixel stats under polygons over
+    the burned native level."""
+    pages = with_geo(synth_pages(spark, PYRAMID_N), tile_z=BURN_Z)
+    tiles = burn_points(pages, z=BURN_Z)
+    polys = polygons_df(spark, 20)
+    return extract_poly_stats(tiles, polys, BURN_Z)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pip_join": _q_pip_join,
+        "knn_join": _q_knn,
+        "extract_poly_stats": _q_extract,
         "geocode_points": _q_geocode,
         "tile_assignment": _q_tile_assignment,
         "cell_encode": _q_cell_encode,
@@ -177,6 +210,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, md5(text) AS text_md5,
                    length(text)::BIGINT AS text_len
             FROM pages""",
+        "pip_join": f"""
+            WITH {_geo_cte()},
+            edges AS ({polygon_edges_sql(50)})
+            SELECT g.url, e.poly_id
+            FROM geo g JOIN edges e
+              ON ((e.y1 > g.lat) != (e.y2 > g.lat))
+             AND (g.lon < (e.x2 - e.x1) * (g.lat - e.y1)
+                          / (e.y2 - e.y1) + e.x1)
+            GROUP BY g.url, e.poly_id
+            HAVING count(*) % 2 = 1""",
+        "knn_join": f"""
+            WITH {_pages_cte(KNN_N)},
+            geo AS (SELECT url, {geo_lon_sql('url')} AS lon,
+                           {geo_lat_sql('url')} AS lat FROM pages),
+            q AS ({query_points_sql(KNN_Q)}),
+            d AS (SELECT q.query_id, q.k, g.url,
+                         {haversine_sql('q.lon', 'q.lat',
+                                        'g.lon', 'g.lat')} AS dist
+                  FROM q CROSS JOIN geo g),
+            r AS (SELECT query_id, k, url,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY dist, url) AS rank
+                  FROM d)
+            SELECT query_id, rank::INT AS rank, url
+            FROM r WHERE rank <= k""",
+        "extract_poly_stats": f"""
+            WITH {_pages_cte(PYRAMID_N)},
+            geo AS (SELECT url, {geo_lon_sql('url')} AS lon,
+                           {geo_lat_sql('url')} AS lat FROM pages),
+            frac AS (
+              SELECT (lon + 180.0) / 360.0 * {float(1 << BURN_Z)!r} AS fx,
+                     (1.0 - ln(tan(radians(least(greatest(lat,
+                        -85.05112877980659), 85.05112877980659)))
+                        + 1.0 / cos(radians(least(greatest(lat,
+                        -85.05112877980659), 85.05112877980659))))
+                        / pi()) / 2.0 * {float(1 << BURN_Z)!r} AS fy
+              FROM geo),
+            keyed AS (
+              SELECT least(greatest(floor(fx), 0),
+                           {(1 << BURN_Z) - 1})::BIGINT AS tx,
+                     least(greatest(floor(fy), 0),
+                           {(1 << BURN_Z) - 1})::BIGINT AS ty, fx, fy
+              FROM frac),
+            hist AS (
+              SELECT tx, ty,
+                     least(greatest(floor((fx - tx) * 256), 0),
+                           255)::INT AS ppx,
+                     least(greatest(floor((fy - ty) * 256), 0),
+                           255)::INT AS ppy,
+                     count(*)::DOUBLE AS w
+              FROM keyed GROUP BY 1, 2, 3, 4),
+            pix AS (
+              SELECT ((tx + (ppx + 0.5) / 256.0)
+                      / {float(1 << BURN_Z)!r}) * 360.0 - 180.0 AS lon,
+                     degrees(atan((exp(pi() * (1.0 - 2.0
+                      * ((ty + (ppy + 0.5) / 256.0)
+                         / {float(1 << BURN_Z)!r}))) - exp(-(pi()
+                      * (1.0 - 2.0 * ((ty + (ppy + 0.5) / 256.0)
+                         / {float(1 << BURN_Z)!r}))))) / 2.0)) AS lat,
+                     greatest(least(255, floor(32.0 * log2(1.0 + w))),
+                              1)::BIGINT AS alpha
+              FROM hist),
+            edges AS ({polygon_edges_sql(20)}),
+            hits AS (
+              SELECT p.lon, p.lat, p.alpha, e.poly_id
+              FROM pix p JOIN edges e
+                ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+               AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                            / (e.y2 - e.y1) + e.x1)
+              GROUP BY p.lon, p.lat, p.alpha, e.poly_id
+              HAVING count(*) % 2 = 1)
+            SELECT poly_id, count(*)::BIGINT AS lit_pixels,
+                   sum(alpha)::BIGINT AS alpha_sum
+            FROM hits GROUP BY poly_id""",
         "pyramid_tile_counts": f"""
             WITH {_pages_cte(PYRAMID_N)},
             native AS (

@@ -1,0 +1,134 @@
+"""Spatial-join tests: PIP vs brute-force oracle, kNN ring join vs
+cross-join baseline, extract vs histogram-side computation
+(FIXTURES.md §4/§5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal2mbtiles_spark.operators.burn import burn_points
+from gdal2mbtiles_spark.operators.spatial import (
+    extract_poly_stats, knn_bruteforce, knn_join,
+    point_in_polygon_join, ray_cast_contains)
+from gdal2mbtiles_spark.sources.pages import synth_pages, with_geo
+from gdal2mbtiles_spark.sources.vectors import (
+    make_polygons, make_query_points, parse_polygon_wkb, polygon_wkb,
+    polygons_df, query_points_df)
+
+N_PAGES = 3000
+
+
+@pytest.fixture(scope="module")
+def geo_pages(spark):
+    return with_geo(synth_pages(spark, N_PAGES)).persist()
+
+
+class TestWkb:
+    def test_round_trip(self):
+        _, xs, ys = make_polygons(5)[3]
+        wkb = polygon_wkb(xs, ys)
+        bx, by = parse_polygon_wkb(wkb)
+        assert np.array_equal(bx, np.array(xs))
+        assert np.array_equal(by, np.array(ys))
+
+
+class TestRayCast:
+    def test_square(self):
+        xs = np.array([0.0, 10.0, 10.0, 0.0])
+        ys = np.array([0.0, 0.0, 10.0, 10.0])
+        px = np.array([5.0, 15.0, -1.0, 9.99])
+        py = np.array([5.0, 5.0, 5.0, 0.01])
+        got = ray_cast_contains(px, py, xs, ys)
+        assert got.tolist() == [True, False, False, True]
+
+    def test_triangle(self):
+        xs = np.array([0.0, 4.0, 2.0])
+        ys = np.array([0.0, 0.0, 4.0])
+        assert ray_cast_contains(np.array([2.0]), np.array([1.0]),
+                                 xs, ys)[0]
+        assert not ray_cast_contains(np.array([0.1]), np.array([3.9]),
+                                     xs, ys)[0]
+
+
+class TestPipJoin:
+    def test_matches_bruteforce(self, spark, geo_pages):
+        polys = polygons_df(spark, 50)
+        got = {(r["url"], r["poly_id"])
+               for r in point_in_polygon_join(geo_pages, polys)
+               .collect()}
+        # brute force: every point against every polygon in numpy
+        pts = geo_pages.select("url", "lon", "lat").collect()
+        urls = np.array([r["url"] for r in pts])
+        lons = np.array([r["lon"] for r in pts])
+        lats = np.array([r["lat"] for r in pts])
+        want = set()
+        for p, xs, ys in make_polygons(50):
+            inside = ray_cast_contains(lons, lats, np.array(xs),
+                                       np.array(ys))
+            for u in urls[inside]:
+                want.add((u, p))
+        assert got == want
+        assert len(want) > 0  # the fixture actually exercises hits
+
+
+class TestKnn:
+    def test_ring_join_matches_bruteforce(self, spark, geo_pages):
+        queries = query_points_df(spark, 60)
+        got = {(r["query_id"], r["rank"], r["url"])
+               for r in knn_join(geo_pages, queries, res=5).collect()}
+        want = {(r["query_id"], r["rank"], r["url"])
+                for r in knn_bruteforce(geo_pages, queries).collect()}
+        assert got == want
+        # every query got exactly k rows
+        ks = {q: k for q, _, _, k in make_query_points(60)}
+        from collections import Counter
+        per_q = Counter(q for q, _, _ in got)
+        assert per_q == {q: ks[q] for q in per_q}
+        assert set(per_q) == set(ks)
+
+    def test_polar_query_settles(self, spark, geo_pages):
+        # near-pole query exercises the clipped-side guard
+        q = spark.createDataFrame([(0, 10.0, 84.9, 5)],
+                                  "query_id int, lon double, "
+                                  "lat double, k int")
+        got = knn_join(geo_pages, q, res=5).collect()
+        want = knn_bruteforce(geo_pages, q).collect()
+        assert ({(r["query_id"], r["rank"], r["url"]) for r in got}
+                == {(r["query_id"], r["rank"], r["url"]) for r in want})
+
+
+class TestExtract:
+    def test_alpha_sum_matches_point_side(self, spark, geo_pages):
+        z = 4
+        tiles = burn_points(geo_pages, z=z)
+        polys = polygons_df(spark, 20)
+        got = {r["poly_id"]: (r["lit_pixels"], r["alpha_sum"])
+               for r in extract_poly_stats(tiles, polys, z).collect()}
+        assert got, "no polygon covered any lit pixel"
+        # oracle: recompute per-pixel heat from the histogram and
+        # classify pixel centers in numpy
+        from gdal2mbtiles_spark.operators.burn import pixel_histogram
+        hist = pixel_histogram(geo_pages, z=z).collect()
+        n = 1 << z
+        lons, lats, ws = [], [], []
+        for r in hist:
+            lons.append(((r["x"] + (r["ppx"] + 0.5) / 256) / n) * 360
+                        - 180)
+            y_xyz = n - 1 - r["y"]
+            yf = (y_xyz + (r["ppy"] + 0.5) / 256) / n
+            t = np.pi * (1 - 2 * yf)
+            lats.append(np.degrees(np.arctan(
+                (np.exp(t) - np.exp(-t)) / 2.0)))
+            ws.append(r["w"])
+        lons, lats = np.array(lons), np.array(lats)
+        alpha = np.maximum(np.minimum(
+            255, (32.0 * np.log2(1.0 + np.array(ws))).astype(np.int64)),
+            1)
+        want = {}
+        for p, xs, ys in make_polygons(20):
+            inside = ray_cast_contains(lons, lats, np.array(xs),
+                                       np.array(ys))
+            if inside.any():
+                want[p] = (int(inside.sum()),
+                           int(alpha[inside].sum()))
+        assert got == want
