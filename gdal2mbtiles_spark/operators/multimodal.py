@@ -1,0 +1,128 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched kernels over ``mapInPandas``.
+
+The container has no image/audio codecs, so the *codec* step is
+explicitly stubbed (NotImplementedError) or replaced by a
+deterministic fake (``fake=True``) — but the Spark-side plumbing is
+real and tested: schemas, batch shapes, partitioning, and the UDF
+signatures are exactly what a codec-backed deployment would use
+(swap ``_decode_rgb_stub`` for PIL/ffmpeg on a real cluster).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("doc_id bigint, media binary, media_type string, "
+                "width int, height int, n_frames int")
+
+FEATURE_DIM = 16
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic opaque media column to documents:
+    media = utf-8 bytes of the text (stands in for encoded image
+    bytes), plus typed metadata columns."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("media"),
+        F.lit("image/fake").alias("media_type"),
+        (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 48 + 16).cast("int").alias("height"),
+        (F.col("n_chars") % 8 + 1).cast("int").alias("n_frames"))
+
+
+def _decode_rgb_stub(media: bytes, width: int, height: int,
+                     fake: bool) -> np.ndarray:
+    """Codec boundary.  Real deployments replace this with
+    PIL.Image.open / pyav decode; here either a deterministic fake
+    (bytes tiled into the requested shape) or NotImplementedError."""
+    if not fake:
+        raise NotImplementedError(
+            "no image codec in this environment; pass fake=True or "
+            "swap _decode_rgb_stub for a real decoder")
+    buf = np.frombuffer(media, dtype=np.uint8)
+    need = width * height * 3
+    reps = -(-need // max(len(buf), 1))
+    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+def extract_features(media_df: DataFrame, fake: bool = True
+                     ) -> DataFrame:
+    """decode -> per-channel histogram features (FEATURE_DIM floats).
+    Output: (doc_id, features array<float>)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id, media, w, h in zip(pdf["doc_id"], pdf["media"],
+                                           pdf["width"], pdf["height"]):
+                img = _decode_rgb_stub(bytes(media), int(w), int(h),
+                                       fake)
+                hist, _ = np.histogram(img, bins=FEATURE_DIM,
+                                       range=(0, 256))
+                ids.append(int(doc_id))
+                feats.append((hist / hist.sum()).astype(np.float32))
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return media_df.mapInPandas(
+        kernel, schema="doc_id bigint, features array<float>")
+
+
+def resize(media_df: DataFrame, out_w: int = 8, out_h: int = 8,
+           fake: bool = True) -> DataFrame:
+    """decode -> nearest-neighbour resize -> re-emit raw RGB bytes.
+    Output: (doc_id, media binary, width, height)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for doc_id, media, w, h in zip(pdf["doc_id"], pdf["media"],
+                                           pdf["width"], pdf["height"]):
+                img = _decode_rgb_stub(bytes(media), int(w), int(h),
+                                       fake)
+                ys = (np.arange(out_h) * h // out_h).astype(int)
+                xs = (np.arange(out_w) * w // out_w).astype(int)
+                ids.append(int(doc_id))
+                outs.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame({
+                "doc_id": ids, "media": outs,
+                "width": np.full(len(ids), out_w, dtype=np.int32),
+                "height": np.full(len(ids), out_h, dtype=np.int32)})
+
+    return media_df.mapInPandas(
+        kernel,
+        schema="doc_id bigint, media binary, width int, height int")
+
+
+def sample_frames(media_df: DataFrame, every: int = 2,
+                  fake: bool = True) -> DataFrame:
+    """1->N frame sampling (video path): each media row emits
+    ceil(n_frames / every) frame rows.  Output:
+    (doc_id, frame_idx, media)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, media, w, h, nf in zip(
+                    pdf["doc_id"], pdf["media"], pdf["width"],
+                    pdf["height"], pdf["n_frames"]):
+                img = _decode_rgb_stub(bytes(media), int(w), int(h),
+                                       fake)
+                for fi in range(0, int(nf), every):
+                    # deterministic fake per-frame variation
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    frames.append(
+                        np.roll(img, fi, axis=0).tobytes())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "media": frames})
+
+    return media_df.mapInPandas(
+        kernel, schema="doc_id bigint, frame_idx int, media binary")

@@ -1,0 +1,247 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **ann_topk_exact**: brute-force cosine top-k, expressed two ways:
+  (a) a pure Column-expression form whose 64-term left-associated dot
+  product is byte-identical to the SQL oracle's, used by the
+  correctness gate; (b) a numpy-matmul mapInPandas form used by the
+  bench (Arrow-batched, BLAS-backed — the fast path).
+- **ann_topk_lsh**: random-hyperplane LSH buckets (deterministic
+  md5-seeded +-1 planes shared by all executors) — the scale path: a
+  bucket equi-join replaces the cross join; probing neighbouring
+  buckets (1-bit flips) recovers recall.
+- **embedding_neardup_pairs**: same-label blocked cosine >= tau pairs
+  (the embedding-cosine near-dup dedup variant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+DIM = 64
+
+
+def _dot_spark(a: str, b: str, dim: int = DIM) -> str:
+    return " + ".join(
+        f"cast(element_at({a}, {i + 1}) as double) * "
+        f"cast(element_at({b}, {i + 1}) as double)"
+        for i in range(dim))
+
+
+def _dot_duck(a: str, b: str, dim: int = DIM) -> str:
+    return " + ".join(
+        f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]::DOUBLE"
+        for i in range(dim))
+
+
+def _norm_spark(a: str, dim: int = DIM) -> str:
+    return f"sqrt({_dot_spark(a, a, dim)})"
+
+
+def _norm_duck(a: str, dim: int = DIM) -> str:
+    return f"sqrt({_dot_duck(a, a, dim)})"
+
+
+def ann_topk_exact(emb: DataFrame, n_queries: int = 20,
+                   k: int = 10, dim: int = DIM) -> DataFrame:
+    """Exact cosine top-k of every vector for the first ``n_queries``
+    vec_ids, excluding self: (query_id, rank, vec_id, score)."""
+    q = (emb.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv")))
+    v = emb.select("vec_id", F.col("embedding").alias("vv"))
+    cand = v.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id"))
+    cos = F.expr(
+        f"({_dot_spark('qv', 'vv', dim)}) / "
+        f"(({_norm_spark('qv', dim)}) * ({_norm_spark('vv', dim)}))")
+    scored = cand.select("query_id", "vec_id", cos.alias("score"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round("score", 6).alias("score")))
+
+
+def ann_topk_exact_sql(source: str = "embeddings",
+                       n_queries: int = 20, k: int = 10,
+                       dim: int = DIM) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM {source} WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             ({_dot_duck('q.qv', 'v.embedding', dim)}) /
+             (({_norm_duck('q.qv', dim)}) *
+              ({_norm_duck('v.embedding', dim)})) AS score
+      FROM q CROSS JOIN {source} v
+      WHERE v.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, rank::INT AS rank, vec_id,
+           round(score, 6) AS score
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def ann_topk_matmul(emb: DataFrame, n_queries: int = 20,
+                    k: int = 10) -> DataFrame:
+    """BLAS fast path: broadcast the query matrix, score each Arrow
+    batch with one matmul, emit per-batch partial top-k, reduce with a
+    final window.  Shuffles k rows per (query, batch) instead of the
+    full score matrix."""
+    spark = emb.sparkSession
+    qrows = (emb.where(F.col("vec_id") < n_queries)
+             .select("vec_id", "embedding").collect())
+    qids = np.array([r["vec_id"] for r in qrows])
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qm_ = bq.value
+        for pdf in batches:
+            vids = pdf["vec_id"].to_numpy()
+            vm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            scores = qm_ @ vm.T  # (Q, B)
+            out_q, out_v, out_s = [], [], []
+            kk = min(k + 1, scores.shape[1])
+            for qi in range(len(qids_)):
+                idx = np.argpartition(-scores[qi], kk - 1)[:kk]
+                out_q.extend([qids_[qi]] * len(idx))
+                out_v.extend(vids[idx])
+                out_s.extend(scores[qi][idx])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v,
+                                "score": out_s})
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id int, vec_id long, score double")
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          F.col("vec_id"))
+    return (partial.where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round("score", 6).alias("score")))
+
+
+def _planes(n_planes: int, dim: int = DIM) -> np.ndarray:
+    """Deterministic +-1 hyperplanes from md5 bits."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        bits = []
+        i = 0
+        while len(bits) < dim:
+            h = hashlib.md5(f"plane{p}_{i}".encode()).digest()
+            for byte in h:
+                for b in range(8):
+                    bits.append(1.0 if (byte >> b) & 1 else -1.0)
+            i += 1
+        out[p] = bits[:dim]
+    return out
+
+
+def lsh_codes_udf(spark, n_tables: int, bits: int, dim: int = DIM):
+    """pandas UDF: embedding -> array of per-table sign-bucket codes."""
+    planes = _planes(n_tables * bits, dim)
+    bp = spark.sparkContext.broadcast((planes, n_tables, bits))
+
+    @F.pandas_udf("array<long>")
+    def codes(embedding: pd.Series) -> pd.Series:
+        pl, L, b = bp.value
+        m = np.array(list(embedding), dtype=np.float64)
+        signs = (m @ pl.T) > 0  # (B, L*b)
+        out = np.zeros((len(m), L), dtype=np.int64)
+        w = 1 << np.arange(b)
+        for t in range(L):
+            out[:, t] = (signs[:, t * b:(t + 1) * b] * w).sum(axis=1)
+        return pd.Series(list(out))
+
+    return codes
+
+
+def ann_topk_lsh(emb: DataFrame, n_queries: int = 20, k: int = 10,
+                 n_tables: int = 16, bits: int = 4) -> DataFrame:
+    """Approximate top-k: classic multi-table hyperplane LSH — L
+    independent tables of ``bits``-bit sign codes; candidates = union
+    over tables of same-code vectors (an equi-join on
+    (table, code)), then exact cosine rescoring of candidates only.
+
+    Scale note: per-table collision probability for unrelated vectors
+    is ~2^-bits, so ``bits`` should grow with log2(n / bucket_target);
+    recall is recovered by raising ``n_tables``.  Defaults tuned for
+    recall ~0.9 on the synthetic embeddings."""
+    spark = emb.sparkSession
+    codes = lsh_codes_udf(spark, n_tables, bits)
+    vb = emb.select("vec_id", "embedding",
+                    codes(F.col("embedding")).alias("codes"))
+    vlong = vb.select(
+        "vec_id", "embedding",
+        F.posexplode("codes").alias("table_idx", "code"))
+    qlong = (vlong.where(F.col("vec_id") < n_queries)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("qv"),
+                     "table_idx", "code"))
+    cand = (qlong.join(vlong, ["table_idx", "code"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "qv", "vec_id", "embedding")
+            .dropDuplicates(["query_id", "vec_id"]))
+    cos = F.expr(
+        f"({_dot_spark('qv', 'embedding')}) / "
+        f"(({_norm_spark('qv')}) * ({_norm_spark('embedding')}))")
+    scored = cand.select("query_id", "vec_id", cos.alias("score"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round("score", 6).alias("score")))
+
+
+def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.9,
+                            block_col: str = "label",
+                            dim: int = DIM) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks:
+    (vec_a, vec_b, score >= tau)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("ea"),
+                   F.col(block_col).alias("_blk"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("eb"),
+                   F.col(block_col).alias("_blk"))
+    pairs = a.join(b, "_blk").where(F.col("vec_a") < F.col("vec_b"))
+    cos = F.expr(
+        f"({_dot_spark('ea', 'eb', dim)}) / "
+        f"(({_norm_spark('ea', dim)}) * ({_norm_spark('eb', dim)}))")
+    return (pairs.select("vec_a", "vec_b", cos.alias("score"))
+            .where(F.col("score") >= tau)
+            .select("vec_a", "vec_b",
+                    F.round("score", 6).alias("score")))
+
+
+def embedding_neardup_pairs_sql(source: str = "embeddings",
+                                tau: float = 0.9,
+                                block_col: str = "label",
+                                dim: int = DIM) -> str:
+    cos = (f"({_dot_duck('a.embedding', 'b.embedding', dim)}) / "
+           f"(({_norm_duck('a.embedding', dim)}) * "
+           f"({_norm_duck('b.embedding', dim)}))")
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({cos}, 6) AS score
+    FROM {source} a JOIN {source} b
+      ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
+    WHERE {cos} >= {tau!r}
+    """

@@ -1,0 +1,86 @@
+"""Driver-contract simulation: every queries() entry must match its
+oracle_sql() twin (row set equality after column sort), mirroring the
+driver's sf=0.01 correctness gate at sf=0.001 speed."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# the kernel-heavy pipeline queries are covered 1:1 in test_pyramid /
+# test_spatial; exclude them here to keep the contract sweep fast
+SLOW = {"pyramid_tile_counts", "tile_dedup_counts", "knn_join",
+        "extract_poly_stats", "pip_join"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _assert_match(sdf, con, sql, name):
+    a = sdf.toPandas()
+    b = con.execute(sql).df()
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols, (name, list(a.columns),
+                                       list(b.columns))
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
+
+
+def test_every_query_has_callable_signature():
+    qs = entry.queries()
+    assert len(qs) >= 15
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_).issubset(set(qs))
+    # every non-oracled query is intentionally approximate/rows-only
+    assert set(qs) - set(os_) <= {"ann_topk_lsh", "tile_dedup_counts",
+                                  "knn_join", "extract_poly_stats",
+                                  "pip_join", "pyramid_tile_counts"}
+
+
+@pytest.mark.parametrize("name", sorted(
+    set(entry.oracle_sql()) - SLOW))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = entry.queries()[name](spark, SF_DIR)
+    _assert_match(sdf, duck, entry.oracle_sql()[name], name)
+
+
+def test_ann_lsh_recall(spark):
+    """The approximate ANN must stay close to exact: recall@10 >= 0.6
+    with 12 planes + 1-bit probing on sf0.001."""
+    from gdal2mbtiles_spark.operators.similarity import (
+        ann_topk_exact, ann_topk_lsh)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in ann_topk_exact(emb).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ann_topk_lsh(emb).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_ann_matmul_matches_exact(spark):
+    from gdal2mbtiles_spark.operators.similarity import (
+        ann_topk_exact, ann_topk_matmul)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["query_id"], r["rank"], r["vec_id"])
+             for r in ann_topk_exact(emb).collect()}
+    fast = {(r["query_id"], r["rank"], r["vec_id"])
+            for r in ann_topk_matmul(emb).collect()}
+    assert exact == fast

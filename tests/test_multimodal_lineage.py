@@ -1,0 +1,132 @@
+"""Multimodal plumbing + lineage/resume tests."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal2mbtiles_spark.lineage import (read_lineage, run_stage,
+                                        stage_is_complete)
+from gdal2mbtiles_spark.operators.multimodal import (
+    attach_fake_media, extract_features, resize, sample_frames)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return attach_fake_media(docs).persist()
+
+
+class TestMultimodal:
+    def test_schema_and_rows(self, media):
+        assert set(media.columns) == {"doc_id", "media", "media_type",
+                                      "width", "height", "n_frames"}
+        assert media.count() == 500
+
+    def test_features_deterministic_unit_norm(self, media):
+        f = extract_features(media)
+        rows = {r["doc_id"]: r["features"] for r in f.collect()}
+        assert len(rows) == 500
+        assert all(len(v) == 16 for v in rows.values())
+        s = sum(rows[0])
+        assert s == pytest.approx(1.0, abs=1e-5)
+        # repartitioned input -> identical features
+        f2 = extract_features(media.repartition(7))
+        rows2 = {r["doc_id"]: r["features"] for r in f2.collect()}
+        assert rows.keys() == rows2.keys()
+        assert all(np.array_equal(rows[k], rows2[k]) for k in rows)
+
+    def test_resize_shape(self, media):
+        out = resize(media, out_w=8, out_h=8).collect()
+        assert all(len(bytes(r["media"])) == 8 * 8 * 3 for r in out)
+
+    def test_frame_sampling_fanout(self, media):
+        frames = sample_frames(media, every=2)
+        got = frames.groupBy("doc_id").count().collect()
+        meta = {r["doc_id"]: r["n_frames"] for r in
+                media.select("doc_id", "n_frames").collect()}
+        for r in got:
+            want = -(-meta[r["doc_id"]] // 2)  # ceil
+            assert r["count"] == want
+
+    def test_decode_stub_raises_without_fake(self, media):
+        from gdal2mbtiles_spark.operators.multimodal import \
+            _decode_rgb_stub
+        with pytest.raises(NotImplementedError):
+            _decode_rgb_stub(b"xx", 4, 4, fake=False)
+
+
+class TestLineageResume:
+    def test_stage_skip_and_checksum(self, spark, tmp_path):
+        run_dir = str(tmp_path / "run1")
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.range(1000).select(
+                F.col("id"), (F.col("id") * 2).alias("v"))
+
+        df1 = run_stage(spark, run_dir, "stage_a", build)
+        assert calls["n"] == 1
+        assert stage_is_complete(run_dir, "stage_a")
+        # resumed run: build NOT called again, same rows
+        df2 = run_stage(spark, run_dir, "stage_a", build)
+        assert calls["n"] == 1
+        assert df2.count() == df1.count() == 1000
+
+        lin = read_lineage(spark, run_dir).collect()
+        assert all(r["stage"] == "stage_a" for r in lin)
+        assert sum(r["rows"] for r in lin) == 1000
+        assert all(r["checksum"] is not None for r in lin)
+
+    def test_checksum_parallelism_invariant(self, spark, tmp_path):
+        from gdal2mbtiles_spark.lineage import compute_lineage
+        df = spark.range(5000).select(
+            F.col("id"), (F.col("id") % 7).alias("v"))
+        a = compute_lineage(df.repartition(2), "s")
+        b = compute_lineage(df.repartition(13), "s")
+
+        def fold(lin):
+            from pyspark.sql.types import DecimalType
+            return lin.agg(
+                F.pmod(F.sum(F.col("checksum").cast(
+                    DecimalType(38, 0))),
+                    F.lit(str(2 ** 62)).cast(DecimalType(38, 0)))
+                .cast("long"),
+                F.sum("rows")).first()
+
+        assert fold(a) == fold(b)
+
+    def test_interrupted_pipeline_resumes_identically(self, spark,
+                                                      tmp_path):
+        """FIXTURES.md §5: kill after one stage, re-run, final output
+        identical to an uninterrupted run."""
+        from gdal2mbtiles_spark.operators.pyramid import (dedup_tiles,
+                                                          downsample_level)
+        from gdal2mbtiles_spark.sources.rasters import native_tiles
+        from gdal2mbtiles_spark.grid import whole_world_raster_meta
+
+        meta = whole_world_raster_meta(512, 512)
+
+        def run(run_dir, stop_after_native=False):
+            native = run_stage(
+                spark, run_dir, "native",
+                lambda: native_tiles(spark, meta))
+            if stop_after_native:
+                return None
+            z0 = run_stage(spark, run_dir, "z0",
+                           lambda: downsample_level(native))
+            images, map_df = dedup_tiles(
+                spark, native.unionByName(z0))
+            return {(r["zoom_level"], r["tile_column"], r["tile_row"],
+                     r["tile_id"]) for r in map_df.collect()}
+
+        d1 = str(tmp_path / "interrupted")
+        run(d1, stop_after_native=True)          # "killed" here
+        resumed = run(d1)                        # resume skips native
+        d2 = str(tmp_path / "clean")
+        clean = run(d2)
+        assert resumed == clean
