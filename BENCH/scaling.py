@@ -1,0 +1,94 @@
+"""Scaling-efficiency evidence (BASELINE.md target: eff >= 0.8
+between N and 4N parallelism).
+
+Runs the identical bench.py job at local[N] and local[4N] on the same
+input (everything equal but the core count — the sandbox stand-in for
+the north_rule's N vs 4N *executor* clusters), computes
+
+    eff = throughput(4N) / (4 * throughput(N))
+
+and rewrites BENCH/BASELINE.md with the table.
+
+Usage: python BENCH/scaling.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cores: int, sf_dir: str) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cores),
+               SPARK_GRAFT_SF_DIR=sf_dir)
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True)
+    line = out.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    result["wall_clock"] = round(time.time() - t0, 1)
+    return result
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    low = run_bench(n, sf_dir)
+    high = run_bench(4 * n, sf_dir)
+    eff = high["value"] / (4.0 * low["value"])
+
+    md = [
+        "# BENCH/BASELINE.md — scaling evidence",
+        "",
+        f"Same job (`bench.py`), same input (`{sf_dir}`), identical",
+        f"configuration apart from core count: `local[{n}]` vs "
+        f"`local[{4 * n}]`.",
+        "",
+        "| cores | tiles/sec (full pyramid+dedup+render) | "
+        "pyramid secs | total bench wall |",
+        "|---|---|---|---|",
+        f"| {n} | {low['value']} | "
+        f"{low['queries']['pyramid_full']} | {low['wall_clock']} s |",
+        f"| {4 * n} | {high['value']} | "
+        f"{high['queries']['pyramid_full']} | {high['wall_clock']} s |",
+        "",
+        f"**Scaling efficiency** = {high['value']} / (4 x "
+        f"{low['value']}) = **{eff:.3f}** "
+        f"({'PASS' if eff >= 0.8 else 'BELOW'} the >= 0.8 target).",
+        "",
+        "Reference derived baseline: ~13 tiles/sec single machine "
+        "(BASELINE.md).",
+        "",
+        "Per-query seconds:",
+        "",
+        "| query | " + f"local[{n}] | local[{4 * n}] |",
+        "|---|---|---|",
+    ]
+    for q in low["queries"]:
+        md.append(f"| {q} | {low['queries'][q]} | "
+                  f"{high['queries'].get(q, '-')} |")
+    md.append("")
+    md.append("Raw JSON:")
+    md.append("```json")
+    md.append(json.dumps(low))
+    md.append(json.dumps(high))
+    md.append("```")
+
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(md) + "\n")
+    print(json.dumps({"eff": round(eff, 3), "low": low["value"],
+                      "high": high["value"], "n": n}))
+
+
+if __name__ == "__main__":
+    main()
