@@ -1,0 +1,218 @@
+"""CLI: convert a raster description into an MBTiles file on Spark.
+
+Mirrors the reference's argument surface and validation semantics
+(main.py:63-233): same option names, same error messages for --color /
+--coloring / --colorize-band / --png8, same OUTPUT/name defaulting
+rules.  The INPUT differs by design: instead of a GDAL file the engine
+reads either
+
+- a JSON *raster descriptor* ``{"kind": "synthetic", "xsize":...,
+  "ysize":..., "epsg": 3857, "pattern": "gradient"}`` (the test
+  fixtures), or
+- a Parquet directory of tiles ``(z, x, y, px)`` produced by another
+  stage (e.g. a burn job),
+
+because the execution substrate is a Spark cluster, not a local GDAL
+install.  Run under spark-submit:
+
+    spark-submit --py-files gdal2mbtiles_spark.zip \
+        -m gdal2mbtiles_spark.cli input.json output.mbtiles
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+from .colors import ColorExact, ColorGradient, ColorPalette, rgba
+
+COLORING_METHODS = {
+    "exact": ColorExact,
+    "gradient": ColorGradient,
+    "palette": ColorPalette,
+}
+
+RESAMPLING_METHODS = ["near", "bilinear"]
+
+
+def color_arg(s: str):
+    """--color validation (reference main.py:71-92, same messages)."""
+    try:
+        band_value, html_color = s.split(":", 1)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            "'{0}' must be in format: BAND-VALUE:HTML-COLOR".format(s))
+    try:
+        band_value = float(band_value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            "'{0}' is not a valid number".format(band_value))
+    try:
+        color = rgba.webcolor(html_color)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            "'{0}' is not a valid HTML color".format(html_color))
+    return band_value, color
+
+
+def colorize_band_arg(s: str) -> int:
+    try:
+        result = int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            "invalid int value: '{0}'".format(s))
+    if result <= 0:
+        raise argparse.ArgumentTypeError(
+            "'{0}' must be 1 or greater".format(s))
+    return result
+
+
+def png8_arg(s):
+    if s is None:
+        return None
+    try:
+        result = int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            "invalid int value: '{0}'".format(s))
+    if not 2 <= result <= 256:
+        raise ValueError(
+            "png8 must be between 2 and 256: {0!r}".format(result))
+    return result
+
+
+def parse_args(args):
+    parser = argparse.ArgumentParser(
+        description="Converts a raster description into an MBTiles "
+                    "file on Spark")
+    parser.add_argument("-v", "--verbose", action="count",
+                        help="explain what is being done")
+
+    group = parser.add_argument_group(title="Positional arguments")
+    group.add_argument("INPUT", nargs="?",
+                       help="Raster descriptor JSON or tiles Parquet.")
+    group.add_argument("OUTPUT", nargs="?",
+                       help="Output filename. Defaults to "
+                            "INPUT.mbtiles")
+
+    group = parser.add_argument_group(title="MBTiles metadata arguments")
+    group.add_argument("--name", default=None)
+    group.add_argument("--description", default="")
+    group.add_argument("--layer-type", default="overlay",
+                       choices=("baselayer", "overlay"))
+    group.add_argument("--version", default="1.0.0")
+    group.add_argument("--format", default="png",
+                       choices=("jpg", "png"))
+
+    group = parser.add_argument_group(title="Warp arguments")
+    group.add_argument("--spatial-reference", type=int, default=3857)
+    group.add_argument("--resampling", default="near",
+                       choices=RESAMPLING_METHODS)
+
+    group = parser.add_argument_group(title="Rendering arguments")
+    group.add_argument("--min-resolution", type=int, default=None)
+    group.add_argument("--max-resolution", type=int, default=None)
+    group.add_argument("--fill-borders", action="store_const",
+                       const=True, default=True)
+    group.add_argument("--no-fill-borders", dest="fill_borders",
+                       action="store_const", const=False)
+    group.add_argument("--zoom-offset", type=int, default=0,
+                       metavar="N")
+
+    group = parser.add_argument_group(title="Coloring arguments")
+    group.add_argument("--coloring", default=None,
+                       choices=COLORING_METHODS)
+    group.add_argument("--color", dest="colors", action="append",
+                       type=color_arg, metavar="BAND-VALUE:HTML-COLOR")
+    group.add_argument("--colorize-band", metavar="COLORIZE-BAND",
+                       type=colorize_band_arg, default=None)
+    group.add_argument("--png8", default=None, type=png8_arg)
+
+    group = parser.add_argument_group(title="Spark arguments")
+    group.add_argument("--cores", type=int, default=None)
+
+    args = parser.parse_args(args=args)
+
+    if args.INPUT is None:
+        parser.error("INPUT is required")
+    if args.OUTPUT is None:
+        args.OUTPUT = os.path.splitext(args.INPUT)[0] + ".mbtiles"
+    if args.name is None:
+        args.name = os.path.basename(args.INPUT)
+
+    # --color / --coloring pairing rules (main.py:225-231)
+    if args.coloring is None and (args.colors
+                                  or args.colorize_band is not None):
+        parser.error("must provide --coloring")
+    elif args.coloring is not None and not args.colors:
+        parser.error("must provide at least one --color")
+    if args.coloring is not None:
+        args.coloring = COLORING_METHODS[args.coloring]
+    return args
+
+
+def load_tiles(spark, args):
+    """INPUT -> (native tiles DataFrame, RasterMeta)."""
+    from .grid import GridSRS, RasterMeta, whole_world_raster_meta
+    from .sources.rasters import native_tiles
+
+    if args.INPUT.endswith(".json"):
+        with open(args.INPUT) as fh:
+            desc = json.load(fh)
+        if desc.get("kind") != "synthetic":
+            raise ValueError(f"unknown raster kind: {desc.get('kind')}")
+        if "geotransform" in desc:
+            meta = RasterMeta(desc["xsize"], desc["ysize"],
+                              tuple(desc["geotransform"]),
+                              srs=GridSRS(desc.get("epsg", 3857)))
+        else:
+            meta = whole_world_raster_meta(
+                desc["xsize"], desc["ysize"],
+                srs=GridSRS(desc.get("epsg", 3857)))
+        return native_tiles(spark, meta), meta
+    # Parquet tiles: infer native z and extents from the data
+    tiles = spark.read.parquet(args.INPUT)
+    from pyspark.sql import functions as F
+    stats = tiles.agg(F.max("z"), F.min("x"), F.max("x"), F.min("y"),
+                      F.max("y")).first()
+    z = int(stats[0])
+    from .grid import SRS_MERCATOR, RasterMeta, TILE_SIDE
+    world = SRS_MERCATOR.world_extents()
+    tile_dim = SRS_MERCATOR.tile_dimensions(z)
+    x0, x1 = int(stats[1]), int(stats[2]) + 1
+    y0, y1 = int(stats[3]), int(stats[4]) + 1
+    gt = (world.lower_left.x + x0 * tile_dim.x, tile_dim.x / TILE_SIDE,
+          0.0, world.lower_left.y + y1 * tile_dim.y, 0.0,
+          -tile_dim.y / TILE_SIDE)
+    meta = RasterMeta((x1 - x0) * TILE_SIDE, (y1 - y0) * TILE_SIDE, gt)
+    return tiles.where(F.col("z") == z), meta
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = parse_args(sys.argv[1:] if argv is None else argv)
+    from .helpers import image_mbtiles
+    from .renderers import JpegRenderer, PngRenderer
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores, app="gdal2mbtiles_spark-cli")
+    tiles, meta = load_tiles(spark, args)
+    renderer = (JpegRenderer() if args.format == "jpg"
+                else PngRenderer(png8=bool(args.png8)))
+    metadata = dict(name=args.name, description=args.description,
+                    type=args.layer_type, version=args.version,
+                    format=args.format)
+    f = image_mbtiles(spark, tiles, meta, args.OUTPUT, metadata,
+                      min_resolution=args.min_resolution,
+                      max_resolution=args.max_resolution,
+                      fill_borders=args.fill_borders,
+                      zoom_offset=args.zoom_offset,
+                      renderer=renderer)
+    f.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
