@@ -38,7 +38,7 @@ def run_bench(cores: int, sf_dir: str) -> dict:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -52,6 +52,12 @@ def main():
         f"Same job (`bench.py`), same input (`{sf_dir}`), identical",
         f"configuration apart from core count: `local[{n}]` vs "
         f"`local[{4 * n}]`.",
+        "",
+        "Note on N: every kernel task occupies ~2 threads (a JVM task",
+        "thread plus its Arrow-fed Python worker), so on this 32-CPU",
+        "box the saturation-fair pair is local[4] vs local[16]",
+        "(8 vs 32 busy threads); local[32] would oversubscribe 2x and",
+        "measure contention, not scaling.",
         "",
         "| cores | tiles/sec (full pyramid+dedup+render) | "
         "pyramid secs | total bench wall |",

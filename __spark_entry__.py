@@ -135,6 +135,40 @@ def _q_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_map bigint, n_images bigint")
 
 
+def _q_olap_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General OLAP parity (Q1-shaped agg): the engine is a full
+    DataFrame engine, not only a tiler."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # exact decimal accumulation (order-independent), cast back to
+    # double so both engines emit the identical IEEE value
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc))
+                 .cast("double").alias("sum_disc_price"),
+                 F.sum(disc).cast("double").alias("sum_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def _q_olap_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped broadcast join: revenue per order for urgent orders."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (li.join(F.broadcast(urgent),
+                    li["l_orderkey"] == urgent["o_orderkey"])
+            .groupBy("l_orderkey")
+            .agg(F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: cell-partitioned broadcast point-in-polygon join."""
     pages = with_geo(synth_pages(spark, PAGES_N))
@@ -180,6 +214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: _text.lang_id(_docs(s, d)),
         "quality_score": lambda s, d: _text.quality_score(_docs(s, d)),
         "doc_fingerprints": lambda s, d: _text.fingerprints(_docs(s, d)),
+        # general OLAP parity
+        "olap_pricing_summary": _q_olap_pricing,
+        "olap_top_revenue": _q_olap_top_revenue,
         # tiling + spatial
         "pip_join": _q_pip_join,
         "knn_join": _q_knn,
@@ -235,6 +272,32 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _text.lang_id_sql(),
         "quality_score": _text.quality_score_sql(),
         "doc_fingerprints": _text.fingerprints_sql(),
+        "olap_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+                        AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,4)))
+                        AS DOUBLE) AS sum_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "olap_top_revenue": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_orderkey""",
         "geocode_points": f"""
             WITH {_pages_cte()}
             SELECT url, {geo_lon_sql('url')} AS lon,

@@ -40,8 +40,8 @@ from gdal2mbtiles_spark.sources.pages import synth_pages, with_geo
 from gdal2mbtiles_spark.sources.vectors import (polygons_df,
                                                 query_points_df)
 
-BURN_Z = 6          # 64x64 native tiles
-PAGES_N = 500_000   # bench-scale synthetic pages
+BURN_Z = 7           # 128x128 native tiles (~21.8k pyramid tiles)
+PAGES_N = 2_000_000  # bench-scale synthetic pages (FIXTURES.md bench N)
 KNN_POINTS = 200_000
 KNN_QUERIES = 200
 

@@ -88,7 +88,16 @@ def _heat_rgba(w: np.ndarray) -> np.ndarray:
 
 
 def scatter_tiles(hist: DataFrame) -> DataFrame:
-    """Phase 2: paint per-pixel weights into RGBA tiles."""
+    """Phase 2: paint per-pixel weights into RGBA tiles.
+
+    The kernel EXPANDS ~16-byte histogram rows into 262KB tiles
+    (~4 orders of magnitude), so AQE's byte-based coalescing of the
+    grouping exchange would serialize it onto one task; an explicit
+    hash repartition on the group keys pins the parallelism (it
+    satisfies applyInPandas' clustered-distribution requirement, so no
+    second exchange is added)."""
+    sc = hist.sparkSession.sparkContext
+    hist = hist.repartition(sc.defaultParallelism, "z", "x", "y")
 
     def paint(pdf: pd.DataFrame) -> pd.DataFrame:
         canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)

@@ -75,10 +75,16 @@ def exact_dedup_sql(source: str = "documents") -> str:
 # --- MinHash ---------------------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<bigint>[NUM_HASHES]) over 3-gram shingles."""
-    return docs.select(
+    """(doc_id, sig array<bigint>[NUM_HASHES]) over 3-gram shingles.
+
+    The shingle array is materialized ONCE per row (a projection
+    boundary Catalyst won't inline 16x), then each signature is an
+    array_min over per-salt rehashes of it."""
+    sh = docs.select("doc_id",
+                     F.expr(SHINGLES_SPARK).alias("_shingles"))
+    return sh.select(
         "doc_id", F.array(*[F.expr(
-            f"array_min(transform({SHINGLES_SPARK}, s -> "
+            f"array_min(transform(_shingles, s -> "
             f"{_h60_spark('s', str(j))}))")
             for j in range(NUM_HASHES)]).alias("sig"))
 

