@@ -47,18 +47,22 @@ KNN_QUERIES = 200
 
 
 def bench_pyramid(spark, sf_dir: str):
-    """Headline: pages -> burn -> full pyramid -> dedup -> PNG render.
-    Returns (seconds, tiles_rendered_total)."""
+    """Headline: pages -> burn histogram -> sparse relational pyramid
+    -> fused paint+hash+encode -> dedup.  (The sparse path is
+    bit-identical to the buffer pipeline — tests/test_sparse.py — but
+    shuffles only ~40-byte pixel rows.)"""
+    from gdal2mbtiles_spark.operators.burn import pixel_histogram
+    from gdal2mbtiles_spark.operators.sparse import \
+        sparse_pyramid_rendered
+
     pages = with_geo(synth_pages(spark, PAGES_N), tile_z=BURN_Z)
-    meta = whole_world_raster_meta(256 * (1 << BURN_Z),
-                                   256 * (1 << BURN_Z))
     t0 = time.time()
-    tiles = burn_points(pages, z=BURN_Z)
-    levels = pyramid_tiles(spark, tiles, meta, min_resolution=0)
-    images, map_df = dedup_tiles(spark, union_levels(levels))
-    encoded = render_images(images, PngRenderer(compression=1))
+    hist = pixel_histogram(pages, z=BURN_Z)
+    images, map_df = sparse_pyramid_rendered(
+        spark, hist, BURN_Z, PngRenderer(compression=1),
+        min_resolution=0)
     n_map = map_df.count()
-    n_imgs, png_bytes = encoded.select(
+    n_imgs, png_bytes = images.select(
         F.count("*"), F.sum(F.length("tile_data"))).first()
     dt = time.time() - t0
     return dt, n_map, n_imgs, int(png_bytes or 0)

@@ -18,6 +18,58 @@ from .operators.pyramid import (border_keys, dedup_tiles, pyramid_tiles,
 from .renderers import PngRenderer
 
 
+def warp_plan(spark: SparkSession, blocks: DataFrame, meta: RasterMeta,
+              resolution=None, to_world: bool = False):
+    """The preprocess composition (reference gdal.py:86-120 +
+    helpers.py:314-327 resample_after_warp): resample to the native
+    grid, then align to the tile grid, then slice to native TMS
+    tiles.  Input is a block image (operators.resample relation);
+    output is (native tiles DataFrame, aligned RasterMeta)."""
+    from .operators.resample import (align_to_grid_blocks,
+                                     blocks_to_tiles, resample_blocks)
+    blocks, meta = resample_blocks(blocks, meta, resolution=resolution,
+                                   to_world=to_world)
+    blocks, meta = align_to_grid_blocks(blocks, meta,
+                                        resolution=resolution)
+    return blocks_to_tiles(blocks, meta, resolution=resolution), meta
+
+
+def warp_mbtiles(spark: SparkSession, blocks: DataFrame,
+                 meta: RasterMeta, outputfile: str, metadata,
+                 min_resolution=None, max_resolution=None,
+                 fill_borders: bool = True, zoom_offset: int = 0,
+                 renderer=None) -> "MBTilesFile":
+    """warp + image_mbtiles (reference helpers.py:158-211): accept any
+    (possibly unaligned, non-native-scale) block raster."""
+    tiles, meta2 = warp_plan(spark, blocks, meta)
+    return image_mbtiles(spark, tiles, meta2, outputfile, metadata,
+                         min_resolution=min_resolution,
+                         max_resolution=max_resolution,
+                         fill_borders=fill_borders,
+                         zoom_offset=zoom_offset, renderer=renderer)
+
+
+def warp_pyramid(spark: SparkSession, blocks: DataFrame,
+                 meta: RasterMeta, outputdir: str,
+                 min_resolution=None, max_resolution=None,
+                 fill_borders: bool = True, renderer=None) -> None:
+    """warp + image_pyramid (reference helpers.py:214-262)."""
+    tiles, meta2 = warp_plan(spark, blocks, meta)
+    image_pyramid(spark, tiles, meta2, outputdir,
+                  min_resolution=min_resolution,
+                  max_resolution=max_resolution,
+                  fill_borders=fill_borders, renderer=renderer)
+
+
+def warp_slice(spark: SparkSession, blocks: DataFrame,
+               meta: RasterMeta, outputdir: str,
+               fill_borders: bool = True, renderer=None) -> None:
+    """warp + image_slice (reference helpers.py:265-309)."""
+    tiles, meta2 = warp_plan(spark, blocks, meta)
+    image_slice(spark, tiles, meta2, outputdir,
+                fill_borders=fill_borders, renderer=renderer)
+
+
 def slice_plan(spark: SparkSession, native: DataFrame, meta: RasterMeta,
                min_resolution: Optional[int] = None,
                max_resolution: Optional[int] = None,

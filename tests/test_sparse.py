@@ -1,0 +1,88 @@
+"""Sparse relational pyramid: equivalence with the buffer pipeline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal2mbtiles_spark.grid import whole_world_raster_meta
+from gdal2mbtiles_spark.operators.burn import (burn_points,
+                                               pixel_histogram)
+from gdal2mbtiles_spark.operators.pyramid import (dedup_tiles,
+                                                  pyramid_tiles,
+                                                  render_images,
+                                                  union_levels)
+from gdal2mbtiles_spark.operators.sparse import (downsample_pixels,
+                                                 heat_pixels,
+                                                 sparse_levels,
+                                                 sparse_pyramid_rendered)
+from gdal2mbtiles_spark.renderers import PngRenderer, decode_png_rgba
+from gdal2mbtiles_spark.sources.pages import synth_pages, with_geo
+
+Z = 4
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def hist(spark):
+    pages = with_geo(synth_pages(spark, N), tile_z=Z)
+    return pixel_histogram(pages, z=Z).persist()
+
+
+def test_sparse_equals_buffer_pipeline(spark, hist):
+    # buffer path: burn -> pyramid -> dedup (raw) -> render
+    tiles = hist.sparkSession  # noqa (fixture ordering)
+    from gdal2mbtiles_spark.operators.burn import scatter_tiles
+    buf_tiles = scatter_tiles(hist)
+    meta = whole_world_raster_meta(256 * (1 << Z), 256 * (1 << Z))
+    levels = pyramid_tiles(spark, buf_tiles, meta, min_resolution=0)
+    b_images, b_map = dedup_tiles(spark, union_levels(levels))
+    b_map_rows = {(r["zoom_level"], r["tile_column"], r["tile_row"],
+                   r["tile_id"]) for r in b_map.collect()}
+    b_hexes = {r["tile_hex"] for r in b_images.collect()}
+
+    # sparse fused path
+    s_images, s_map = sparse_pyramid_rendered(
+        spark, hist, Z, PngRenderer(compression=1), min_resolution=0)
+    s_map_rows = {(r["zoom_level"], r["tile_column"], r["tile_row"],
+                   r["tile_id"]) for r in s_map.collect()}
+    s_img = {r["tile_hex"]: bytes(r["tile_data"])
+             for r in s_images.collect()}
+
+    assert s_map_rows == b_map_rows          # identical tile content
+    assert set(s_img) == b_hexes             # identical distinct images
+    # payloads are valid PNGs decoding to 256x256 RGBA
+    arr = decode_png_rgba(next(iter(s_img.values())))
+    assert arr.shape == (256, 256, 4)
+
+
+def test_downsample_pixels_box_semantics(spark):
+    # 4 children of one parent pixel with known alphas
+    rows = [(3, 10, 10, 255, 255, 255, 100),
+            (3, 11, 10, 255, 255, 255, 50),
+            (3, 10, 11, 255, 255, 255, 25),
+            (3, 11, 11, 255, 255, 255, 11)]
+    df = spark.createDataFrame(
+        rows, "z int, gx bigint, gy bigint, r int, g int, b int, a int")
+    out = downsample_pixels(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["gx"], r["gy"]) == (5, 5)
+    assert r["a"] == (100 + 50 + 25 + 11 + 2) // 4
+    assert r["r"] == (255 * 4 + 2) // 4  # saturated white stays 255
+
+    # partial parent: 1 lit child only -> other three contribute 0
+    df2 = spark.createDataFrame(
+        [(3, 20, 20, 255, 255, 255, 200)],
+        "z int, gx bigint, gy bigint, r int, g int, b int, a int")
+    r2 = downsample_pixels(df2).collect()[0]
+    assert r2["a"] == (200 + 2) // 4
+    assert r2["r"] == (255 + 2) // 4
+
+
+def test_sparse_levels_decay(spark, hist):
+    levels = sparse_levels(hist, Z, min_resolution=0)
+    counts = {z: levels[z].count() for z in levels}
+    # sparse row counts can only shrink (or stay) per level
+    for z in range(Z, 0, -1):
+        assert counts[z - 1] <= counts[z]
+    assert counts[0] >= 1
