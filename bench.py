@@ -40,7 +40,7 @@ from gdal2mbtiles_spark.sources.pages import synth_pages, with_geo
 from gdal2mbtiles_spark.sources.vectors import (polygons_df,
                                                 query_points_df)
 
-BURN_Z = 7           # 128x128 native tiles (~21.8k pyramid tiles)
+BURN_Z = 8           # 256x256 native tiles (~87.4k pyramid tiles)
 PAGES_N = 2_000_000  # bench-scale synthetic pages (FIXTURES.md bench N)
 KNN_POINTS = 200_000
 KNN_QUERIES = 200
@@ -83,6 +83,16 @@ def main():
     t, n_map, n_imgs, png_bytes = bench_pyramid(spark, sf_dir)
     queries["pyramid_full"] = round(t, 3)
     tiles_per_sec = n_map / t
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "pyramid":
+        print(json.dumps({
+            "metric": "tiles_per_sec_full_pyramid",
+            "value": round(tiles_per_sec, 2), "unit": "sec",
+            "queries": queries, "sf": sf, "cores": cores,
+            "pyramid_tiles": n_map, "pyramid_images": n_imgs,
+            "png_bytes": png_bytes}))
+        spark.stop()
+        return
 
     pages = with_geo(synth_pages(spark, PAGES_N)).persist()
     pages.count()

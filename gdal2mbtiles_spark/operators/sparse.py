@@ -76,16 +76,32 @@ def downsample_pixels(pixels: DataFrame) -> DataFrame:
 
 
 def sparse_levels(hist: DataFrame, z: int,
-                  min_resolution: int = 0) -> Dict[int, DataFrame]:
+                  min_resolution: int = 0,
+                  buffer: str = "native") -> Dict[int, DataFrame]:
     """{level: sparse pixels} from native z down to min_resolution.
-    Shuffle volume decays 4x per level; rows are ~40 bytes."""
-    levels = {z: heat_pixels(hist, z)}
-    cur = levels[z]
+    Shuffle volume decays 4x per level; rows are ~40 bytes.
+
+    buffer:
+      'native' (default) — eagerly checkpoint only the native pixels
+        (the expensive upstream: pages synth + histogram); deeper
+        levels re-derive through cheap decaying JVM aggs per consumer,
+        avoiding one fixed checkpoint job per level;
+      'all' — eagerly checkpoint every level (best when many separate
+        actions consume mid levels);
+      'none' — no materialization (caller manages persistence).
+    """
+    native = heat_pixels(hist, z)
+    if buffer in ("native", "all"):
+        native = native.localCheckpoint(eager=True)
+    levels = {z: native}
+    cur = native
     for r in range(z - 1, min_resolution - 1, -1):
         cur = downsample_pixels(cur).withColumn(
-            "z", F.lit(r).cast("int"))
-        levels[r] = cur.select("z", "gx", "gy", "r", "g", "b", "a")
-        cur = levels[r]
+            "z", F.lit(r).cast("int")).select(
+            "z", "gx", "gy", "r", "g", "b", "a")
+        if buffer == "all":
+            cur = cur.localCheckpoint(eager=True)
+        levels[r] = cur
     return levels
 
 

@@ -1,0 +1,106 @@
+"""MBTiles file semantics (reference tests/test_mbtiles.py parity):
+schema, versioned metadata validation, out-of-order hash linking,
+ordered scans."""
+
+import sqlite3
+
+import pytest
+
+from gdal2mbtiles_spark.mbtiles import (InvalidFileError, MBTilesFile,
+                                        MetadataKeyError,
+                                        MetadataValueError,
+                                        clean_metadata_value,
+                                        detect_version)
+
+META = dict(name="t", type="overlay", version="1.0.0",
+            description="d", format="png")
+
+
+class TestSchema:
+    def test_tables_and_view(self, tmp_path):
+        f = MBTilesFile.create(str(tmp_path / "a.mbtiles"), META)
+        names = {r[0] for r in f._conn.execute(
+            "SELECT name FROM sqlite_master").fetchall()}
+        assert {"images", "map", "metadata", "tiles"} <= names
+        f.close()
+
+    def test_recreate_overwrites(self, tmp_path):
+        p = str(tmp_path / "a.mbtiles")
+        f = MBTilesFile.create(p, META)
+        f.insert(0, 0, 0, 42, b"data")
+        f.close()
+        f = MBTilesFile.create(p, META)
+        assert f.get(0, 0, 0) is None
+        f.close()
+
+
+class TestVersions:
+    # reference mbtiles.py:171-180 + 206-315
+    def test_detect(self):
+        assert detect_version(["name", "type", "version",
+                               "description"]) == "1.0"
+        assert detect_version(["name", "type", "version",
+                               "description", "format"]) == "1.2"
+        with pytest.raises(InvalidFileError):
+            detect_version(["name"])
+
+    def test_clean_type(self):
+        assert clean_metadata_value("type", "overlay", "1.0") == "overlay"
+        with pytest.raises(MetadataValueError):
+            clean_metadata_value("type", "nope", "1.0")
+
+    def test_clean_format(self):
+        with pytest.raises(MetadataValueError):
+            clean_metadata_value("format", "gif", "1.1")
+
+    def test_clean_bounds(self):
+        out = clean_metadata_value("bounds", "-10,-10,10,10", "1.1")
+        assert out == "-10.0,-10.0,10.0,10.0"
+        with pytest.raises(MetadataValueError):
+            clean_metadata_value("bounds", "10,-10,-10,10", "1.1")
+        with pytest.raises(MetadataValueError):
+            clean_metadata_value("bounds", "-200,-10,10,10", "1.1")
+
+    def test_missing_mandatory(self, tmp_path):
+        with pytest.raises(MetadataKeyError):
+            MBTilesFile.create(str(tmp_path / "x.mbtiles"),
+                               dict(name="n", type="overlay",
+                                    version="1", description="d"),
+                               version="1.1")
+
+
+class TestOutOfOrderLinking:
+    def test_map_before_images(self, tmp_path):
+        # reference tests/test_mbtiles.py:114-131: map rows may
+        # reference a tile_id inserted later
+        f = MBTilesFile.create(str(tmp_path / "a.mbtiles"), META)
+        f.insert(0, 0, 1, tile_id=99)            # link only
+        assert f.get(0, 0, 1) is None            # not in view yet
+        f.insert(1, 1, 1, tile_id=99, data=b"payload")
+        assert f.get(0, 0, 1) == b"payload"      # now both resolve
+        assert f.get(1, 1, 1) == b"payload"
+        f.close()
+
+    def test_insert_or_replace_last_wins(self, tmp_path):
+        f = MBTilesFile.create(str(tmp_path / "a.mbtiles"), META)
+        f.insert(0, 0, 0, tile_id=1, data=b"one")
+        f.insert(0, 0, 0, tile_id=2, data=b"two")
+        assert f.get(0, 0, 0) == b"two"
+        f.close()
+
+    def test_all_ordering(self, tmp_path):
+        # reference mbtiles.py:556-571: ORDER BY z, x, y
+        f = MBTilesFile.create(str(tmp_path / "a.mbtiles"), META)
+        for (z, x, y) in [(1, 1, 0), (0, 0, 0), (1, 0, 1)]:
+            f.insert(x, y, z, tile_id=z * 100 + x * 10 + y, data=b"p")
+        rows = [(z, x, y) for z, x, y, _ in f.all()]
+        assert rows == [(0, 0, 0), (1, 0, 1), (1, 1, 0)]
+        f.close()
+
+    def test_negative_tile_ids(self, tmp_path):
+        # signed-low64 reinterpretation produces negative ids; the PK
+        # must round-trip them
+        f = MBTilesFile.create(str(tmp_path / "a.mbtiles"), META)
+        f.insert(0, 0, 0, tile_id=-(2 ** 62), data=b"neg")
+        assert f.get(0, 0, 0) == b"neg"
+        f.close()
