@@ -111,8 +111,10 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     from ..operators.dedup import SHINGLES_SPARK, _h60_spark
     hashes = (f"array_sort(transform({SHINGLES_SPARK}, "
               f"s -> {_h60_spark('s', 'fp')}))")
+    # try_element_at: docs with fewer than FP_K shingles yield NULL
+    # fps, matching DuckDB's out-of-bounds list indexing
     return docs.select("doc_id", *[
-        F.expr(f"element_at({hashes}, {i + 1})").alias(f"fp{i}")
+        F.expr(f"try_element_at({hashes}, {i + 1})").alias(f"fp{i}")
         for i in range(FP_K)])
 
 

@@ -12,10 +12,16 @@ basis: h60(s) = first 15 hex chars of md5 (60 bits, fits signed 64)
 lineage).
 
 Scale notes (10^12 docs): MinHash signatures are computed in one
-narrow pass; LSH banding turns the quadratic pair search into an
-equi-join on (band, key) whose fan-out is controlled by band width;
-the exact-Jaccard verify only touches candidate pairs.  Hot bands
-(boilerplate text) are bounded per-band via the candidate cap.
+narrow pass; LSH banding turns the quadratic pair search into a
+single hash-partitioned grouping on (band, key) whose fan-out is
+controlled by band width.  Hot bands (boilerplate text) are bounded
+by a per-(band, key) *candidate cap*: a row_number window (same
+partitioning as the group-by, so no extra exchange) keeps only the
+first ``cap`` doc_ids per band key, making the worst-case pair
+fan-out cap^2/2 per key instead of quadratic in the key's frequency.
+Pairs are generated as in-task array combinations from the grouped
+members — no self-join, so signatures are shuffled exactly once and
+the pair-dedup exchange carries only (doc_a, doc_b, score) rows.
 """
 
 from __future__ import annotations
@@ -24,10 +30,16 @@ from typing import Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 NUM_HASHES = 16
 BANDS = 8  # 2 rows per band
 ROWS_PER_BAND = NUM_HASHES // BANDS
+# Per-(band, key) candidate cap: a key shared by more than CAP docs is
+# boilerplate; pairing the first CAP (by doc_id — deterministic) bounds
+# the per-key pair fan-out at CAP*(CAP-1)/2 while near-dup recall
+# survives via the other bands.  Mirrored verbatim in the SQL oracle.
+BAND_CANDIDATE_CAP = 512
 
 # --- shared expression builders (Spark SQL text / DuckDB text) ---------------
 
@@ -44,14 +56,20 @@ def _h60_duck(s: str, salt: str) -> str:
 TOKS_SPARK = "split(lower(text), ' ')"
 TOKS_DUCK = "string_split(lower(text), ' ')"
 
-# 3-gram token shingles (w-shingling)
+# 3-gram token shingles (w-shingling): standard n-2 shingles for an
+# n-token doc; docs with fewer than 3 tokens yield an EMPTY array on
+# both engines (Spark's sequence(0, -1) would produce a descending
+# range whose element_at(t, 0) throws, so the short case is guarded
+# explicitly; DuckDB's range(0, n<=0) is already []).
 SHINGLES_SPARK = (
-    "transform(sequence(0, greatest(size({t}) - 3, 0) - 1), "
+    "(case when size({t}) >= 3 then "
+    "transform(sequence(0, size({t}) - 3), "
     "i -> concat_ws(' ', element_at({t}, i + 1), "
-    "element_at({t}, i + 2), element_at({t}, i + 3)))"
+    "element_at({t}, i + 2), element_at({t}, i + 3))) "
+    "else cast(array() as array<string>) end)"
 ).format(t=TOKS_SPARK)
 SHINGLES_DUCK = (
-    "list_transform(range(0, greatest(len({t}) - 3, 0)), "
+    "list_transform(range(0, greatest(len({t}) - 2, 0)), "
     "i -> {t}[i + 1] || ' ' || {t}[i + 2] || ' ' || {t}[i + 3])"
 ).format(t=TOKS_DUCK)
 
@@ -97,15 +115,43 @@ def _sig_sql_duck() -> str:
     return f"[{parts}]"
 
 
+def _grouped_pairs(long_df: DataFrame, key_cols: Tuple[str, str],
+                   payload: str, score_expr: str, score_name: str,
+                   cap: int) -> DataFrame:
+    """Shared banded-pair machinery for MinHash / SimHash.
+
+    long_df: one row per (doc_id, payload, *key_cols).  Pipeline:
+    row_number cap per key (bounds hot keys) -> groupBy key collecting
+    (doc_id, payload) structs (reuses the window's hash partitioning —
+    one exchange total) -> in-task i<j combination explode computing
+    ``score_expr`` over ``ms[i]``/``ms[j]`` -> narrow (doc_a, doc_b,
+    score) rows into the final dedup exchange."""
+    k0, k1 = key_cols
+    w = W.partitionBy(k0, k1).orderBy("doc_id")
+    capped = (long_df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= cap))
+    groups = (capped.groupBy(k0, k1)
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("doc_id", payload))).alias("ms"))
+              .where(F.size("ms") >= 2))
+    pair_expr = (
+        "flatten(transform(sequence(0, size(ms) - 2), i -> "
+        "transform(sequence(i + 1, size(ms) - 1), j -> "
+        "struct(ms[i].doc_id AS doc_a, ms[j].doc_id AS doc_b, "
+        f"{score_expr} AS {score_name}))))")
+    return (groups.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.*"))
+
+
 def minhash_lsh_pairs(docs: DataFrame,
-                      min_est_sim: float = 0.5) -> DataFrame:
+                      min_est_sim: float = 0.5,
+                      band_cap: int = BAND_CANDIDATE_CAP) -> DataFrame:
     """LSH candidate pairs: band the signature (BANDS bands of
-    ROWS_PER_BAND), equi-join on (band, key), then estimate similarity
-    as the matching-component fraction.  Output:
+    ROWS_PER_BAND), group docs per (band, key) with the hot-band
+    candidate cap, generate same-key pairs in-task, then estimate
+    similarity as the matching-component fraction.  Output:
     (doc_a, doc_b, est_sim) with est_sim >= min_est_sim."""
-    # persist: the banded self-join would otherwise recompute the
-    # 16-hash signature expression for both sides
-    sigs = minhash_signatures(docs).persist()
+    sigs = minhash_signatures(docs)
     band_cols = [F.md5(F.concat_ws(
         "_", *[F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
                for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
@@ -119,26 +165,20 @@ def minhash_lsh_pairs(docs: DataFrame,
             for b in range(BANDS)])).alias("bk")
     ).select("doc_id", "sig", "bk.band_idx", "bk.band_key")
 
-    a = bands_long.select(F.col("doc_id").alias("doc_a"),
-                          F.col("sig").alias("sig_a"),
-                          "band_idx", "band_key")
-    b = bands_long.select(F.col("doc_id").alias("doc_b"),
-                          F.col("sig").alias("sig_b"),
-                          "band_idx", "band_key")
-    cand = (a.join(b, ["band_idx", "band_key"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sig_a", "sig_b")
+    est = ("size(filter(zip_with(ms[i].sig, ms[j].sig, "
+           "(x, y) -> x = y), v -> v)) "
+           f"/ cast({NUM_HASHES} as double)")
+    pairs = _grouped_pairs(bands_long, ("band_idx", "band_key"),
+                           "sig", est, "est_sim", band_cap)
+    # est_sim is a pure function of the pair, so filtering BEFORE the
+    # distinct both shrinks the dedup exchange and stays deterministic
+    return (pairs.where(F.col("est_sim") >= min_est_sim)
             .dropDuplicates(["doc_a", "doc_b"]))
-    matches = F.expr(
-        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
-        "v -> v))")
-    est = (matches / F.lit(float(NUM_HASHES))).alias("est_sim")
-    return (cand.select("doc_a", "doc_b", est)
-            .where(F.col("est_sim") >= min_est_sim))
 
 
 def minhash_lsh_pairs_sql(source: str = "documents",
-                          min_est_sim: float = 0.5) -> str:
+                          min_est_sim: float = 0.5,
+                          band_cap: int = BAND_CANDIDATE_CAP) -> str:
     band_exprs = ", ".join(
         "md5(" + " || '_' || ".join(
             f"sig[{b * ROWS_PER_BAND + r + 1}]::VARCHAR"
@@ -153,10 +193,15 @@ def minhash_lsh_pairs_sql(source: str = "documents",
     ),
     banded AS (SELECT doc_id, sig, {band_exprs} FROM sigs),
     bands_long AS ({band_union}),
+    capped AS (
+      SELECT doc_id, sig, band_idx, band_key FROM bands_long
+      QUALIFY row_number() OVER (PARTITION BY band_idx, band_key
+                                 ORDER BY doc_id) <= {band_cap}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sig AS sig_a, b.sig AS sig_b
-      FROM bands_long a JOIN bands_long b
+      FROM capped a JOIN capped b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     )
@@ -200,9 +245,11 @@ def simhash_sql(source: str = "documents") -> str:
     return f"SELECT doc_id, ({bit_terms}) AS simhash FROM {source}"
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  chunk_cap: int = BAND_CANDIDATE_CAP) -> DataFrame:
     """Near-dup candidates: band the 60-bit simhash into 4x15-bit
-    chunks; docs sharing any chunk are candidates; keep pairs with
+    chunks; docs sharing any chunk are candidates (hot chunks bounded
+    by the same candidate cap as MinHash bands); keep pairs with
     hamming distance <= max_hamming."""
     sh = simhash(docs)
     chunks = sh.select(
@@ -213,23 +260,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                      .alias("chunk"))
             for c in range(4)])).alias("ck")
     ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk")
-    a = chunks.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sh_a"),
-                      "chunk_idx", "chunk")
-    b = chunks.select(F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("sh_b"),
-                      "chunk_idx", "chunk")
-    cand = (a.join(b, ["chunk_idx", "chunk"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sh_a", "sh_b")
+    ham = "bit_count(ms[i].simhash ^ ms[j].simhash)"
+    pairs = _grouped_pairs(chunks, ("chunk_idx", "chunk"),
+                           "simhash", ham, "hamming", chunk_cap)
+    return (pairs.where(F.col("hamming") <= max_hamming)
             .dropDuplicates(["doc_a", "doc_b"]))
-    ham = F.expr("bit_count(sh_a ^ sh_b)").alias("hamming")
-    return (cand.select("doc_a", "doc_b", ham)
-            .where(F.col("hamming") <= max_hamming))
 
 
 def simhash_pairs_sql(source: str = "documents",
-                      max_hamming: int = 8) -> str:
+                      max_hamming: int = 8,
+                      chunk_cap: int = BAND_CANDIDATE_CAP) -> str:
     chunk_union = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {c} AS chunk_idx, "
         f"(simhash >> {c * 15}) & 32767 AS chunk FROM sh"
@@ -238,10 +278,15 @@ def simhash_pairs_sql(source: str = "documents",
     return f"""
     WITH sh AS ({inner}),
     chunks AS ({chunk_union}),
+    capped AS (
+      SELECT doc_id, simhash, chunk_idx, chunk FROM chunks
+      QUALIFY row_number() OVER (PARTITION BY chunk_idx, chunk
+                                 ORDER BY doc_id) <= {chunk_cap}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sh_a, b.simhash AS sh_b
-      FROM chunks a JOIN chunks b
+      FROM capped a JOIN capped b
         ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
        AND a.doc_id < b.doc_id
     )
