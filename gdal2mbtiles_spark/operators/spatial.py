@@ -175,6 +175,9 @@ def knn_join(points: DataFrame, queries: DataFrame,
     qbase = (qbase.withColumn("_qx", qx).withColumn("_qy", qy)
              .persist())
 
+    # every persist is tracked and released after the result is
+    # materialized below — a kNN call leaves no cached RDDs behind
+    cached = [pts, qbase]
     remaining = qbase
     settled = []
     ring = 1
@@ -208,24 +211,40 @@ def knn_join(points: DataFrame, queries: DataFrame,
         if covers_world:
             settled.append(topk)
             break
+        if it == max_iters - 1:
+            # terminal flush: emit best-effort top-k for queries that
+            # never satisfied the settle guarantee within max_iters
+            # (instead of silently dropping them)
+            settled.append(topk)
+            break
 
-        # settle guarantee: kth distance within the ring-covered radius.
-        # Per-side guard in degrees; a side clipped at the poles (or a
-        # horizontal span wrapping the globe) is fully covered -> +inf.
-        INF = F.lit(1e9)
+        # settle guarantee: kth distance within the ring-covered
+        # radius, each side bounded by a true great-circle LOWER bound
+        # on the distance to that ring edge.  Horizontal edges are
+        # meridian segments: distance to the full meridian circle is
+        # R * asin(sin(dLon) * cos(qlat)) — strictly below the
+        # parallel-arc length dLon*cos(qlat) at high latitude, which
+        # round 1 wrongly used (premature settles).  Vertical edges
+        # are parallels: the meridian arc R * radians(dLat) is exact.
+        # A side clipped at the poles (or a horizontal span wrapping
+        # the globe) is fully covered -> +inf.
+        INF = F.lit(1e12)
         west = _tile_edge_lon(F.col("_qx") - ring, res)
         east = _tile_edge_lon(F.col("_qx") + ring + 1, res)
         north = _tile_edge_lat(F.col("_qy") - ring, res)
         south = _tile_edge_lat(F.col("_qy") + ring + 1, res)
-        horiz = F.when(F.lit(2 * ring + 1 >= n), INF).otherwise(
-            F.least(F.col("_qlon") - west, east - F.col("_qlon"))
-            * F.cos(F.radians(F.col("_qlat"))))
-        north_g = F.when((F.col("_qy") - ring) <= 0, INF).otherwise(
-            north - F.col("_qlat"))
-        south_g = F.when((F.col("_qy") + ring + 1) >= n, INF).otherwise(
-            F.col("_qlat") - south)
-        guard_deg = F.least(horiz, north_g, south_g)
-        guard_km = guard_deg * F.lit(math.pi / 180.0 * EARTH_RADIUS_KM)
+        dlon = F.least(F.col("_qlon") - west, east - F.col("_qlon"))
+        horiz_km = F.when(F.lit(2 * ring + 1 >= n), INF).otherwise(
+            F.lit(EARTH_RADIUS_KM) * F.asin(F.least(
+                F.lit(1.0),
+                F.sin(F.radians(dlon))
+                * F.cos(F.radians(F.col("_qlat"))))))
+        deg_km = F.lit(math.pi / 180.0 * EARTH_RADIUS_KM)
+        north_km = F.when((F.col("_qy") - ring) <= 0, INF).otherwise(
+            (north - F.col("_qlat")) * deg_km)
+        south_km = F.when((F.col("_qy") + ring + 1) >= n, INF).otherwise(
+            (F.col("_qlat") - south) * deg_km)
+        guard_km = F.least(horiz_km, north_km, south_km)
 
         stats = (topk.groupBy("query_id")
                  .agg(F.count("*").alias("_n"),
@@ -239,6 +258,7 @@ def knn_join(points: DataFrame, queries: DataFrame,
                                  "left_semi"))
         remaining = remaining.join(F.broadcast(done_ids), "query_id",
                                    "left_anti").persist()
+        cached.append(remaining)
         if remaining.isEmpty():
             break
         ring *= 2
@@ -246,9 +266,15 @@ def knn_join(points: DataFrame, queries: DataFrame,
     out = settled[0]
     for s in settled[1:]:
         out = out.unionByName(s)
-    return out.select("query_id", "rank",
-                      F.col("_pid").alias(point_id),
-                      F.col("_dist").alias("dist_km"))
+    out = out.select("query_id", "rank",
+                     F.col("_pid").alias(point_id),
+                     F.col("_dist").alias("dist_km"))
+    # materialize once (iteration caches still hot), then release every
+    # cache this call created — the caller gets a self-contained result
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def knn_bruteforce(points: DataFrame, queries: DataFrame,
