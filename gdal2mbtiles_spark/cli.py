@@ -197,10 +197,40 @@ def main(argv: Optional[list] = None) -> int:
     from .renderers import JpegRenderer, PngRenderer
     from .session import get_spark
 
+    # the CLI input surface is pre-projected EPSG:3857 tile grids, so
+    # the GDAL warp options the reference forwards (main.py:284-303)
+    # have nothing to act on here; reject non-defaults loudly instead
+    # of accepting them as silent no-ops
+    if args.spatial_reference != 3857:
+        raise SystemExit(
+            f"--spatial-reference {args.spatial_reference} is not "
+            "supported: CLI inputs are EPSG:3857 tile grids (use the "
+            "warp_mbtiles API for block rasters)")
+    if args.resampling != "near":
+        raise SystemExit(
+            f"--resampling {args.resampling} has no effect on "
+            "tile-aligned CLI inputs; the warp_mbtiles API applies "
+            "the reference's ratio-based kernel selection")
+
     spark = get_spark(cores=args.cores, app="gdal2mbtiles_spark-cli")
     tiles, meta = load_tiles(spark, args)
+
+    # coloring: extract the band, compile the color ramp, colorize —
+    # the reference threads these through warp_mbtiles
+    # (main.py:288-295); here the pieces compose on the tile relation
+    if args.coloring is not None:
+        from .colors import colorize_tiles
+        from .operators.bands import extract_band
+        colors = args.coloring(dict(args.colors))
+        band = args.colorize_band if args.colorize_band is not None else 1
+        tiles = colorize_tiles(extract_band(tiles, band), colors,
+                               dtype="uint8")
+
+    # pass the validated palette size through unchanged: --png8 N must
+    # quantize to N colors, not be collapsed to a boolean
     renderer = (JpegRenderer() if args.format == "jpg"
-                else PngRenderer(png8=bool(args.png8)))
+                else PngRenderer(
+                    png8=args.png8 if args.png8 is not None else False))
     metadata = dict(name=args.name, description=args.description,
                     type=args.layer_type, version=args.version,
                     format=args.format)

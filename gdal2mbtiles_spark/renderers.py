@@ -97,14 +97,28 @@ def encode_png8(raw: bytes, width: int = TILE_SIDE,
     as32 = flat.view(np.uint32).reshape(-1)
     uniq, inverse = np.unique(as32, return_inverse=True)
     if len(uniq) > max_colors:
-        levels = max(2, int(max_colors ** 0.25))
-        step = 256 // levels
-        post = (flat // step) * step + step // 2
-        as32 = post.astype(np.uint8).reshape(-1, 4).view(
-            np.uint32).reshape(-1)
-        uniq, inverse = np.unique(as32, return_inverse=True)
+        # posterize, lowering per-channel levels until the ACTUAL
+        # distinct count honors the requested bound (levels**4 is only
+        # the worst case; levels=1 degenerates to a single color, so
+        # the loop always terminates within max_colors >= 2)
+        for levels in range(max(2, int(max_colors ** 0.25)), 0, -1):
+            step = 256 // levels
+            post = (flat // step) * step + step // 2
+            as32 = post.astype(np.uint8).reshape(-1, 4).view(
+                np.uint32).reshape(-1)
+            uniq, inverse = np.unique(as32, return_inverse=True)
+            if len(uniq) <= max_colors:
+                break
     palette = uniq.view(np.uint8).reshape(-1, 4)
-    idx = inverse.astype(np.uint8).reshape(height, width)
+    # canonical palette order by explicit (R, G, B, A) keys — byte
+    # determinism independent of executor endianness (the uint32 view
+    # order above is native-endian)
+    order = np.lexsort((palette[:, 3], palette[:, 2],
+                        palette[:, 1], palette[:, 0]))
+    palette = palette[order]
+    remap = np.empty(len(order), dtype=np.uint8)
+    remap[order] = np.arange(len(order), dtype=np.uint8)
+    idx = remap[inverse].reshape(height, width)
     scan = np.empty((height, width + 1), dtype=np.uint8)
     scan[:, 0] = 0
     scan[:, 1:] = idx
@@ -210,12 +224,11 @@ class PngRenderer:
 
 class JpegRenderer:
     """JPEG strategy (reference renderers.py:49-95): drops the alpha
-    channel (bands > 3 keep the first 3).  A real JPEG codec is not
-    available in this environment, so the DCT encode is a clearly
-    deterministic stand-in: the RGB plane is deflate-wrapped with a
-    JFIF-tagged header.  The Spark-side plumbing (alpha strip, quality
-    knob, schema) is real and tested; swap ``_encode`` for a codec on
-    a cluster with one installed."""
+    channel (bands > 3 keep the first 3) and encodes through the
+    pure-numpy baseline codec in ``jpeg.py`` — real, decoder-readable
+    JFIF bytes (SOI/DQT/SOF0/DHT/SOS), deterministic on every
+    executor.  The reference's libvips encoder bytes are OS-dependent;
+    determinism is what content-addressed dedup requires."""
 
     suffix = ".jpeg"
 
@@ -231,11 +244,10 @@ class JpegRenderer:
 
     def render(self, raw: bytes, width: int = TILE_SIDE,
                height: int = TILE_SIDE) -> bytes:
-        rgb = self.strip_alpha(raw, width, height)
-        header = b"\xff\xd8\xff\xe0" + struct.pack(
-            ">H", 16) + b"JFIF\x00\x01\x02" + struct.pack(
-            ">BHHBB", 0, 1, 1, 0, 0) + struct.pack(">B", self.quality)
-        return header + zlib.compress(rgb, 6) + b"\xff\xd9"
+        from .jpeg import encode_jpeg_rgb
+        rgb = np.frombuffer(self.strip_alpha(raw, width, height),
+                            dtype=np.uint8).reshape(height, width, 3)
+        return encode_jpeg_rgb(rgb, quality=max(self.quality, 1))
 
 
 class TouchRenderer:

@@ -1,0 +1,132 @@
+"""Baseline JPEG codec tests (K6): marker structure, decode
+round-trip tolerance, determinism, and the png8 palette bound fix
+(round-2 VERDICT item 6 / ADVICE renderers.py findings)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gdal2mbtiles_spark.jpeg import (ZIGZAG, decode_jpeg_rgb,
+                                     encode_jpeg_rgb,
+                                     scaled_quant_tables)
+from gdal2mbtiles_spark.renderers import (JpegRenderer, decode_png_rgba,
+                                          encode_png8)
+
+
+def smooth(h=64, w=48):
+    gx = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    gy = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    return np.stack([gx, gy, (gx + gy) / 2], -1).astype(np.uint8)
+
+
+def markers(data):
+    """Top-level marker sequence of a JPEG byte stream."""
+    out, pos = [], 0
+    while pos < len(data) - 1:
+        assert data[pos] == 0xFF
+        m = data[pos + 1]
+        out.append(m)
+        if m in (0xD8, 0xD9):
+            pos += 2
+        else:
+            (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            pos += 2 + ln
+        if m == 0xDA:          # entropy-coded data follows SOS
+            break
+    return out
+
+
+def test_marker_structure():
+    data = encode_jpeg_rgb(smooth(), quality=85)
+    ms = markers(data)
+    # SOI, APP0, DQT x2, SOF0, DHT x4, SOS
+    assert ms == [0xD8, 0xE0, 0xDB, 0xDB, 0xC0,
+                  0xC4, 0xC4, 0xC4, 0xC4, 0xDA]
+    assert data[-2:] == b"\xff\xd9"
+    # SOF0 carries the true (unpadded) dimensions
+    sof = data.index(b"\xff\xc0")
+    h, w = struct.unpack(">HH", data[sof + 5:sof + 9])
+    assert (h, w) == (64, 48)
+
+
+def test_round_trip_tolerance():
+    img = smooth()
+    dec = decode_jpeg_rgb(encode_jpeg_rgb(img, quality=90))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 25
+
+
+def test_round_trip_noise_symbol_coverage():
+    # random noise exercises the full (run, size) AC symbol space
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    dec = decode_jpeg_rgb(encode_jpeg_rgb(img, quality=95))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 10.0
+
+
+def test_odd_dimensions_padded():
+    img = smooth()[:33, :41]
+    dec = decode_jpeg_rgb(encode_jpeg_rgb(img, 85))
+    assert dec.shape == img.shape
+
+
+def test_deterministic_and_quality_monotone():
+    img = smooth()
+    a = encode_jpeg_rgb(img, 85)
+    assert a == encode_jpeg_rgb(img, 85)
+    assert len(encode_jpeg_rgb(img, 95)) > len(encode_jpeg_rgb(img, 30))
+
+
+def test_quality_scaling_bounds():
+    for q in (1, 25, 50, 85, 100):
+        ql, qc = scaled_quant_tables(q)
+        assert ql.min() >= 1 and ql.max() <= 255
+        assert qc.min() >= 1 and qc.max() <= 255
+    assert scaled_quant_tables(100)[0].max() == 1  # lossless-est tables
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+def test_renderer_emits_decodable_jpeg():
+    rgba = np.zeros((256, 256, 4), dtype=np.uint8)
+    rgba[..., 0] = np.linspace(0, 255, 256)[None, :]
+    rgba[..., 3] = 255
+    out = JpegRenderer(quality=90).render(rgba.tobytes())
+    dec = decode_jpeg_rgb(out)
+    err = np.abs(dec[..., 0].astype(int)
+                 - rgba[..., 0].astype(int))
+    assert dec.shape == (256, 256, 3)
+    assert err.mean() < 3.0
+
+
+def test_png8_honors_small_palette_bound():
+    # ADVICE renderers.py:100 — png8=2 used to emit up to 16 colors
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    for max_colors in (2, 3, 4, 15, 16):
+        png = encode_png8(img.tobytes(), width=16, height=16,
+                          max_colors=max_colors)
+        plte = png.index(b"PLTE")
+        (ln,) = struct.unpack(">I", png[plte - 4:plte])
+        assert ln // 3 <= max_colors, (max_colors, ln // 3)
+
+
+def test_png8_palette_sorted_by_rgba():
+    img = np.zeros((4, 4, 4), dtype=np.uint8)
+    img[0] = (200, 0, 0, 255)
+    img[1] = (0, 200, 0, 255)
+    img[2] = (0, 0, 200, 255)
+    img[3] = (0, 0, 200, 10)
+    png = encode_png8(img.tobytes(), width=4, height=4)
+    plte = png.index(b"PLTE") + 4
+    pal = np.frombuffer(png[plte:plte + 12], np.uint8).reshape(-1, 3)
+    # lexicographic (R, G, B, A): alpha variant of blue sorts first
+    assert pal.tolist() == [[0, 0, 200], [0, 0, 200],
+                            [0, 200, 0], [200, 0, 0]]
+    # round-trip through our decoder preserves pixels
+    assert np.array_equal(decode_png_rgba(png), img)
