@@ -122,11 +122,11 @@ def _q_pyramid_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: MD5 tile dedup over the burned native level — map rows vs
-    distinct images per zoom.  The oracle reproduces the dedup
-    structurally: distinct tiles whose *pixel histograms* are equal
-    collapse; at the native level that equals distinct multisets of
-    (ppx,ppy,w) per tile, which SQL computes by hashing the sorted
-    pixel list per tile."""
+    distinct images.  The oracle reproduces the dedup structurally:
+    a burned tile's 262KB buffer is fully determined by its lit-pixel
+    set {(ppx, ppy, alpha)}, so buffer-MD5 equality == equality of the
+    ordered (ppx, ppy, alpha) list, which SQL computes by hashing
+    string_agg(.. ORDER BY ppx, ppy) per tile (see oracle_sql)."""
     pages = with_geo(synth_pages(spark, PYRAMID_N), tile_z=BURN_Z)
     tiles = burn_points(pages, z=BURN_Z)
     images, map_df = dedup_tiles(spark, tiles)
@@ -398,4 +398,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT {bx} AS x, {by} AS y FROM pages
             )
             {levels_sql}""",
+        # A1/J2 structural oracle: per-tile hash of the ordered lit-
+        # pixel list == buffer MD5 identity (burn paints exactly those
+        # pixels into an otherwise-zero canvas)
+        "tile_dedup_counts": f"""
+            WITH {_pages_cte(PYRAMID_N)},
+            geo AS (SELECT url, {burn_lon} AS lon,
+                           {burn_lat} AS lat FROM pages),
+            frac AS (
+              SELECT (lon + 180.0) / 360.0 * {float(1 << BURN_Z)!r} AS fx,
+                     (1.0 - ln(tan(radians(least(greatest(lat,
+                        -85.05112877980659), 85.05112877980659)))
+                        + 1.0 / cos(radians(least(greatest(lat,
+                        -85.05112877980659), 85.05112877980659))))
+                        / pi()) / 2.0 * {float(1 << BURN_Z)!r} AS fy
+              FROM geo),
+            keyed AS (
+              SELECT least(greatest(floor(fx), 0),
+                           {(1 << BURN_Z) - 1})::BIGINT AS tx,
+                     least(greatest(floor(fy), 0),
+                           {(1 << BURN_Z) - 1})::BIGINT AS ty, fx, fy
+              FROM frac),
+            hist AS (
+              SELECT tx, {(1 << BURN_Z) - 1} - ty AS ty_tms,
+                     least(greatest(floor((fx - tx) * 256), 0),
+                           255)::INT AS ppx,
+                     least(greatest(floor((fy - ty) * 256), 0),
+                           255)::INT AS ppy,
+                     count(*)::DOUBLE AS w
+              FROM keyed GROUP BY 1, 2, 3, 4),
+            tile_hash AS (
+              SELECT tx, ty_tms,
+                     md5(string_agg(
+                         ppx || ',' || ppy || ',' ||
+                         greatest(least(255, floor(32.0 * log2(1.0 + w))),
+                                  1)::BIGINT,
+                         ';' ORDER BY ppx, ppy)) AS h
+              FROM hist GROUP BY tx, ty_tms)
+            SELECT count(*)::BIGINT AS n_map,
+                   count(DISTINCT h)::BIGINT AS n_images
+            FROM tile_hash""",
     }

@@ -2,12 +2,13 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched kernels over ``mapInPandas``.
 
-The container has no image/audio codecs, so the *codec* step is
-explicitly stubbed (NotImplementedError) or replaced by a
-deterministic fake (``fake=True``) — but the Spark-side plumbing is
-real and tested: schemas, batch shapes, partitioning, and the UDF
-signatures are exactly what a codec-backed deployment would use
-(swap ``_decode_rgb_stub`` for PIL/ffmpeg on a real cluster).
+The codec boundary is REAL for the two formats the engine itself
+implements with zero dependencies — PNG (renderers.decode_png_rgba)
+and baseline JPEG (jpeg.decode_jpeg_rgb) — detected by magic bytes.
+Other formats (WebP/AVIF/video) would need PIL/ffmpeg, absent from
+this container: those either raise NotImplementedError or use the
+deterministic fake (``fake=True``); the Spark-side plumbing (schemas,
+batch shapes, partitioning, UDF signatures) is identical either way.
 """
 
 from __future__ import annotations
@@ -38,15 +39,28 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
         (F.col("n_chars") % 8 + 1).cast("int").alias("n_frames"))
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8"
+
+
 def _decode_rgb_stub(media: bytes, width: int, height: int,
                      fake: bool) -> np.ndarray:
-    """Codec boundary.  Real deployments replace this with
-    PIL.Image.open / pyav decode; here either a deterministic fake
-    (bytes tiled into the requested shape) or NotImplementedError."""
+    """Codec boundary.  PNG and baseline JPEG decode for real through
+    the engine's own zero-dependency codecs (magic-byte dispatch);
+    anything else is either the deterministic fake (bytes tiled into
+    the requested shape) or NotImplementedError — swap in PIL/ffmpeg
+    on a cluster that has them for the remaining formats."""
+    if media[:8] == _PNG_MAGIC:
+        from ..renderers import decode_png_rgba
+        return decode_png_rgba(media)[:, :, :3]
+    if media[:2] == _JPEG_MAGIC:
+        from ..jpeg import decode_jpeg_rgb
+        return decode_jpeg_rgb(media)
     if not fake:
         raise NotImplementedError(
-            "no image codec in this environment; pass fake=True or "
-            "swap _decode_rgb_stub for a real decoder")
+            "no codec for this format in this environment; encode the "
+            "media as PNG/JPEG, pass fake=True, or swap "
+            "_decode_rgb_stub for PIL/ffmpeg")
     buf = np.frombuffer(media, dtype=np.uint8)
     need = width * height * 3
     reps = -(-need // max(len(buf), 1))
@@ -87,8 +101,11 @@ def resize(media_df: DataFrame, out_w: int = 8, out_h: int = 8,
                                            pdf["width"], pdf["height"]):
                 img = _decode_rgb_stub(bytes(media), int(w), int(h),
                                        fake)
-                ys = (np.arange(out_h) * h // out_h).astype(int)
-                xs = (np.arange(out_w) * w // out_w).astype(int)
+                # trust the decoded dimensions (a real codec may
+                # disagree with stale metadata columns)
+                ih, iw = img.shape[:2]
+                ys = (np.arange(out_h) * ih // out_h).astype(int)
+                xs = (np.arange(out_w) * iw // out_w).astype(int)
                 ids.append(int(doc_id))
                 outs.append(img[np.ix_(ys, xs)].tobytes())
             yield pd.DataFrame({

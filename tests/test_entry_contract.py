@@ -14,7 +14,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # the kernel-heavy pipeline queries are covered 1:1 in test_pyramid /
 # test_spatial; exclude them here to keep the contract sweep fast
-SLOW = {"pyramid_tile_counts", "tile_dedup_counts", "knn_join",
+SLOW = {"pyramid_tile_counts", "knn_join",
         "extract_poly_stats", "pip_join"}
 
 
@@ -49,9 +49,7 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert set(os_).issubset(set(qs))
     # every non-oracled query is intentionally approximate/rows-only
-    assert set(qs) - set(os_) <= {"ann_topk_lsh", "tile_dedup_counts",
-                                  "knn_join", "extract_poly_stats",
-                                  "pip_join", "pyramid_tile_counts"}
+    assert set(qs) - set(os_) == {"ann_topk_lsh"}
 
 
 @pytest.mark.parametrize("name", sorted(

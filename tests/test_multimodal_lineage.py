@@ -59,6 +59,68 @@ class TestMultimodal:
             _decode_rgb_stub(b"xx", 4, 4, fake=False)
 
 
+def _png_media(spark, n=12):
+    """documents with REAL PNG-encoded media (the engine's own
+    encoder): a deterministic per-doc RGBA ramp."""
+    from pyspark.sql import functions as F
+    from gdal2mbtiles_spark.renderers import encode_png_rgba
+
+    rows = []
+    for i in range(n):
+        arr = np.zeros((16, 16, 4), dtype=np.uint8)
+        arr[..., 0] = (np.arange(16)[None, :] * (i + 1)) % 256
+        arr[..., 1] = i * 7 % 256
+        arr[..., 3] = 255
+        rows.append((i, bytearray(encode_png_rgba(
+            arr.tobytes(), width=16, height=16)), "image/png",
+            16, 16, 1, arr))
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "doc_id bigint, media binary, media_type string, "
+        "width int, height int, n_frames int")
+    return df, {r[0]: r[6] for r in rows}
+
+
+class TestRealCodecs:
+    """Round-2 VERDICT item 10: the codec boundary is real for
+    PNG/JPEG — fake=False must work end-to-end on real bytes."""
+
+    def test_features_on_real_png(self, spark):
+        media, arrs = _png_media(spark)
+        out = extract_features(media, fake=False).collect()
+        assert len(out) == len(arrs)
+        for r in out:
+            img = arrs[r["doc_id"]][:, :, :3]
+            hist, _ = np.histogram(img, bins=16, range=(0, 256))
+            want = (hist / hist.sum()).astype(np.float32)
+            assert np.allclose(np.array(r["features"]), want)
+
+    def test_resize_on_real_png(self, spark):
+        media, arrs = _png_media(spark)
+        out = resize(media, out_w=4, out_h=4, fake=False).collect()
+        for r in out:
+            got = np.frombuffer(bytes(r["media"]), np.uint8
+                                ).reshape(4, 4, 3)
+            src = arrs[r["doc_id"]][:, :, :3]
+            idx = (np.arange(4) * 16 // 4)
+            assert np.array_equal(got, src[np.ix_(idx, idx)])
+
+    def test_frames_on_real_jpeg(self, spark):
+        from gdal2mbtiles_spark.jpeg import encode_jpeg_rgb
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[..., 0] = np.linspace(0, 255, 16)[None, :]
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_jpeg_rgb(img, 90)), "image/jpeg",
+              16, 16, 4)],
+            "doc_id bigint, media binary, media_type string, "
+            "width int, height int, n_frames int")
+        frames = sample_frames(media, every=2, fake=False).collect()
+        assert len(frames) == 2
+        f0 = np.frombuffer(bytes(frames[0]["media"]), np.uint8
+                           ).reshape(16, 16, 3)
+        assert abs(int(f0[..., 0].mean()) - int(img[..., 0].mean())) < 8
+
+
 class TestLineageResume:
     def test_stage_skip_and_checksum(self, spark, tmp_path):
         run_dir = str(tmp_path / "run1")

@@ -192,6 +192,40 @@ class TestBordersAndDedup:
         assert images.count() == 1
         assert map_df.count() == 16
 
+    def test_dedup_broadcast_and_agg_paths_identical(self, spark):
+        # the auto fallback (broadcast_canon=None) must pick SOME path
+        # and both forced paths must emit identical (images, map)
+        meta = whole_world_raster_meta(1024, 1024)
+        df = native_tiles(spark, meta)
+        outs = {}
+        for mode in (True, False, None):
+            images, map_df = dedup_tiles(spark, df,
+                                         broadcast_canon=mode)
+            outs[mode] = (
+                sorted((r["tile_id"], r["tile_hex"],
+                        bytes(r["tile_data"]))
+                       for r in images.collect()),
+                sorted(tuple(r) for r in map_df.collect()))
+        assert outs[True] == outs[False] == outs[None]
+
+    def test_dedup_auto_fallback_to_agg(self, spark):
+        # force the fallback by shrinking the broadcast threshold so
+        # even a 16-image canon exceeds it
+        meta = whole_world_raster_meta(1024, 1024)
+        df = native_tiles(spark, meta)
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "64")   # bytes: 16 images won't fit
+            images, map_df = dedup_tiles(spark, df,
+                                         broadcast_canon=None)
+            assert "min_by" in images._jdf.queryExecution().analyzed(
+                ).toString()
+            # gradient world at z2: B = (tx ^ ty)*16 -> 4 distinct images
+            assert images.count() == 4 and map_df.count() == 16
+        finally:
+            spark.conf.set(key, old)
+
     def test_zoom_offset(self, spark):
         # storages.py:277-279: zoom_offset shifts z in map rows
         meta = whole_world_raster_meta(256, 256)
