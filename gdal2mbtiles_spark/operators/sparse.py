@@ -106,12 +106,22 @@ def sparse_levels(hist: DataFrame, z: int,
 
 
 def render_sparse_level(pixels: DataFrame, z: int, renderer,
-                        parallelism: Optional[int] = None) -> DataFrame:
+                        parallelism: Optional[int] = None,
+                        out_chunk: int = 128) -> DataFrame:
     """Fused paint+hash+encode: sparse pixels -> rendered tiles.
 
     Output: (z, x(TMS), y(TMS), tile_id, tile_hex, tile_data=encoded).
     The canvas exists only inside the kernel; the MD5 is of the RAW
-    RGBA buffer (A1 contract) and tile_data is the encoded payload."""
+    RGBA buffer (A1 contract) and tile_data is the encoded payload.
+
+    One hash repartition co-locates each tile's pixels, then a
+    partition-level ``mapInPandas`` groups tiles with one numpy
+    lexsort — NOT groupBy.applyInPandas, whose per-group pandas
+    DataFrame construction dominates when most groups are a handful
+    of rows (measured ~2 ms/tile of pure overhead on 340k tiles).
+    Per-task memory is bounded by the partition's SPARSE row count
+    (~40 bytes/row), never by materialized canvases: painted tiles
+    stream out in ``out_chunk``-row batches."""
     n = 1 << z
     keyed = pixels.withColumn("_tx", (F.col("gx") / TILE_SIDE)
                               .cast("long")) \
@@ -121,36 +131,211 @@ def render_sparse_level(pixels: DataFrame, z: int, renderer,
     p = parallelism or sc.defaultParallelism
     keyed = keyed.repartition(p, "_tx", "_ty")
 
-    def paint(pdf: pd.DataFrame) -> pd.DataFrame:
-        tx = int(pdf["_tx"].iloc[0])
-        ty = int(pdf["_ty"].iloc[0])
-        canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
-        lx = (pdf["gx"].to_numpy() - tx * TILE_SIDE).astype(np.int64)
-        ly = (pdf["gy"].to_numpy() - ty * TILE_SIDE).astype(np.int64)
-        canvas[ly, lx, 0] = pdf["r"].to_numpy(np.uint8)
-        canvas[ly, lx, 1] = pdf["g"].to_numpy(np.uint8)
-        canvas[ly, lx, 2] = pdf["b"].to_numpy(np.uint8)
-        canvas[ly, lx, 3] = pdf["a"].to_numpy(np.uint8)
-        raw = canvas.tobytes()
-        hx = hashlib.md5(raw).hexdigest()
-        return pd.DataFrame({
-            "z": [z], "x": [tx],
-            "y": [n - 1 - ty],                       # TMS flip
-            "tile_id": [signed_low64(int(hx, 16))],
-            "tile_hex": [hx],
-            "tile_data": [renderer.render(raw)],
-        })
+    def paint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = (parts[0] if len(parts) == 1
+               else pd.concat(parts, ignore_index=True))
+        tx = pdf["_tx"].to_numpy(np.int64)
+        ty = pdf["_ty"].to_numpy(np.int64)
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        ch = [pdf[c].to_numpy().astype(np.uint8)
+              for c in ("r", "g", "b", "a")]
+        order = np.lexsort((ty, tx))
+        key = tx[order] * (np.int64(1) << 32) + ty[order]
+        _, starts = np.unique(key, return_index=True)
+        bounds = np.append(starts, len(key))
 
-    return keyed.groupBy("_tx", "_ty").applyInPandas(
-        paint, schema=RENDERED_SCHEMA)
+        out = {k: [] for k in ("z", "x", "y", "tile_id", "tile_hex",
+                               "tile_data")}
+
+        def flush():
+            chunk = pd.DataFrame({
+                "z": pd.Series(out["z"], dtype="int32"),
+                "x": pd.Series(out["x"], dtype="int64"),
+                "y": pd.Series(out["y"], dtype="int64"),
+                "tile_id": pd.Series(out["tile_id"], dtype="int64"),
+                "tile_hex": out["tile_hex"],
+                "tile_data": out["tile_data"]})
+            for k in out:
+                out[k] = []
+            return chunk
+
+        canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
+        for i in range(len(starts)):
+            s, e = starts[i], bounds[i + 1]
+            idx = order[s:e]
+            t_x, t_y = int(tx[idx[0]]), int(ty[idx[0]])
+            lx = gx[idx] - t_x * TILE_SIDE
+            ly = gy[idx] - t_y * TILE_SIDE
+            canvas[:] = 0
+            for c in range(4):
+                canvas[ly, lx, c] = ch[c][idx]
+            raw = canvas.tobytes()
+            hx = hashlib.md5(raw).hexdigest()
+            out["z"].append(z)
+            out["x"].append(t_x)
+            out["y"].append(n - 1 - t_y)             # TMS flip
+            out["tile_id"].append(signed_low64(int(hx, 16)))
+            out["tile_hex"].append(hx)
+            out["tile_data"].append(renderer.render(raw))
+            if len(out["z"]) >= out_chunk:
+                yield flush()
+        if out["z"]:
+            yield flush()
+
+    return keyed.mapInPandas(paint, schema=RENDERED_SCHEMA)
+
+
+# phased-kernel output: rendered tile rows (kind=0) union next-phase
+# sparse pixel rows (kind=1) in one nullable schema
+PHASE_SCHEMA = ("kind int, z int, x bigint, y bigint, tile_id bigint, "
+                "tile_hex string, tile_data binary, "
+                "gx bigint, gy bigint, r int, g int, b int, a int")
+
+_KEY_SHIFT = np.int64(1) << 32
+
+
+def _shrink_sparse(gx, gy, ch):
+    """One 2x2 box level on sparse arrays: group by (gx>>1, gy>>1),
+    per-channel (sum + 2) >> 2 — the numpy twin of downsample_pixels
+    (missing children contribute 0), bit-identical to the canvas
+    shrink because box blocks never cross tile boundaries."""
+    key = (gx >> 1) * _KEY_SHIFT + (gy >> 1)
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    uniq, starts = np.unique(key, return_index=True)
+    out_ch = []
+    for c in ch:
+        sums = np.add.reduceat(c[order].astype(np.int64), starts)
+        out_ch.append(((sums + 2) >> 2).astype(np.int64))
+    return uniq // _KEY_SHIFT, uniq % _KEY_SHIFT, out_ch
+
+
+def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
+                           renderer, emit_pixels: bool,
+                           parallelism: Optional[int] = None,
+                           out_chunk: int = 128) -> DataFrame:
+    """Render levels [top..bottom] in ONE kernel pass.
+
+    Input: sparse pixels at level ``top``.  Partitioning by the
+    level-``bottom`` ancestor tile guarantees all four children of any
+    parent tile >= bottom are co-located, so the kernel can loop:
+    paint+hash+encode every tile of the current level, then 2x2-shrink
+    the sparse rows in-task and recurse — one shuffle and one plan for
+    ``top - bottom + 1`` levels instead of one per level (the per-level
+    chain's serial Catalyst/scheduling cost dominated the 4-vs-16-core
+    scaling gap).  With emit_pixels the kernel also outputs the
+    level-(bottom-1) sparse rows that seed the next phase."""
+    n_top = 1 << top
+    shift = 8 + (top - bottom)          # log2(TILE_SIDE) + level gap
+    keyed = pixels.select(
+        "gx", "gy", "r", "g", "b", "a",
+        F.shiftright("gx", shift).alias("_ax"),
+        F.shiftright("gy", shift).alias("_ay"))
+    sc = pixels.sparkSession.sparkContext
+    p = parallelism or sc.defaultParallelism
+    keyed = keyed.repartition(p, "_ax", "_ay")
+
+    nones = {"z": None, "x": None, "y": None, "tile_id": None,
+             "tile_hex": None, "tile_data": None, "gx": None,
+             "gy": None, "r": None, "g": None, "b": None, "a": None}
+
+    def _chunk(rows):
+        base = {k: [r.get(k) for r in rows] for k in
+                ("kind", "z", "x", "y", "tile_id", "tile_hex",
+                 "tile_data", "gx", "gy", "r", "g", "b", "a")}
+        return pd.DataFrame({
+            "kind": pd.Series(base["kind"], dtype="int32"),
+            "z": pd.Series(base["z"], dtype="Int32"),
+            "x": pd.Series(base["x"], dtype="Int64"),
+            "y": pd.Series(base["y"], dtype="Int64"),
+            "tile_id": pd.Series(base["tile_id"], dtype="Int64"),
+            "tile_hex": base["tile_hex"],
+            "tile_data": base["tile_data"],
+            "gx": pd.Series(base["gx"], dtype="Int64"),
+            "gy": pd.Series(base["gy"], dtype="Int64"),
+            "r": pd.Series(base["r"], dtype="Int32"),
+            "g": pd.Series(base["g"], dtype="Int32"),
+            "b": pd.Series(base["b"], dtype="Int32"),
+            "a": pd.Series(base["a"], dtype="Int32")})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = (parts[0] if len(parts) == 1
+               else pd.concat(parts, ignore_index=True))
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64)
+        ch = [pdf[c].to_numpy().astype(np.int64)
+              for c in ("r", "g", "b", "a")]
+
+        pending = []
+        canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
+        for lvl in range(top, bottom - 1, -1):
+            n = 1 << lvl
+            tx_all, ty_all = gx >> 8, gy >> 8
+            order = np.lexsort((ty_all, tx_all))
+            key = tx_all[order] * _KEY_SHIFT + ty_all[order]
+            _, starts = np.unique(key, return_index=True)
+            bounds = np.append(starts, len(key))
+            for i in range(len(starts)):
+                idx = order[starts[i]:bounds[i + 1]]
+                t_x, t_y = int(tx_all[idx[0]]), int(ty_all[idx[0]])
+                lx = gx[idx] - (t_x << 8)
+                ly = gy[idx] - (t_y << 8)
+                canvas[:] = 0
+                for c in range(4):
+                    canvas[ly, lx, c] = ch[c][idx].astype(np.uint8)
+                raw = canvas.tobytes()
+                hx = hashlib.md5(raw).hexdigest()
+                pending.append(dict(
+                    nones, kind=0, z=lvl, x=t_x, y=n - 1 - t_y,
+                    tile_id=signed_low64(int(hx, 16)), tile_hex=hx,
+                    tile_data=renderer.render(raw)))
+                if len(pending) >= out_chunk:
+                    yield _chunk(pending)
+                    pending = []
+            if lvl > bottom or emit_pixels:
+                gx, gy, ch = _shrink_sparse(gx, gy, ch)
+        if emit_pixels:
+            for j in range(len(gx)):
+                pending.append(dict(
+                    nones, kind=1, gx=int(gx[j]), gy=int(gy[j]),
+                    r=int(ch[0][j]), g=int(ch[1][j]),
+                    b=int(ch[2][j]), a=int(ch[3][j])))
+                if len(pending) >= out_chunk:
+                    yield _chunk(pending)
+                    pending = []
+        if pending:
+            yield _chunk(pending)
+
+    return keyed.mapInPandas(kernel, schema=PHASE_SCHEMA)
 
 
 def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
                             z: int, renderer,
-                            min_resolution: int = 0
+                            min_resolution: int = 0,
+                            phase_depth: int = 5,
+                            apex_level: int = 5
                             ) -> Tuple[DataFrame, DataFrame]:
-    """Full fused pipeline: histogram -> per-level sparse downsample ->
-    fused render -> (images, map).
+    """Full fused pipeline: histogram -> phased multi-level kernels ->
+    per-level apex -> (images, map).
+
+    Levels above ``apex_level`` render in ceil(levels/phase_depth)
+    multi-level kernel passes (one shuffle + one plan per pass instead
+    of per level — the per-level chain's serial Catalyst/scheduling
+    cost dominated 4-vs-16-core scaling).  A pass keyed by its bottom
+    ancestor has 4^bottom groups, so below apex_level (4^5 = 1024
+    keys) the key grid itself throttles parallelism: painting those
+    levels still touches ~O(native/4^(z-lvl)) pixel rows, and one
+    straggler task was measured eating 30+ s.  The apex therefore
+    switches to per-level kernels keyed by the level's own tiles with
+    a lazy JVM downsample chain between them — maximum key count per
+    level, shallow plans off the last pass's checkpointed seed.
 
     images: (tile_id, tile_data encoded, tile_hex), canonical row =
     min (z, x, y) per hash (same order-free first-wins as
@@ -158,11 +343,39 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
     tile_id).  Dup tiles cost one wasted encode each — the trade for
     never shuffling payloads; use the buffer pipeline when the dup
     ratio is high (constant oceans etc.)."""
-    levels = sparse_levels(hist, z, min_resolution=min_resolution)
-    rendered = None
-    for r in sorted(levels):
-        lvl = render_sparse_level(levels[r], r, renderer)
-        rendered = lvl if rendered is None else rendered.unionByName(lvl)
+    pixels = heat_pixels(hist, z).localCheckpoint(eager=True)
+    rendered_parts = []
+    apex_top = min(max(apex_level - 1, min_resolution - 1), z)
+    top = z
+    while top > apex_top:
+        bottom = max(min_resolution, apex_top + 1,
+                     top - phase_depth + 1)
+        emit = bottom > min_resolution
+        out = pyramid_phase_rendered(pixels, top, bottom, renderer,
+                                     emit_pixels=emit)
+        if emit:
+            # one materialization feeds both the rendered union and
+            # the next pass/apex seed
+            out = out.localCheckpoint(eager=True)
+            pixels = out.where(F.col("kind") == 1).select(
+                F.lit(bottom - 1).cast("int").alias("z"),
+                "gx", "gy", "r", "g", "b", "a")
+        rendered_parts.append(out.where(F.col("kind") == 0).select(
+            "z", "x", "y", "tile_id", "tile_hex", "tile_data"))
+        top = bottom - 1
+
+    # materialize the apex seed as NARROW pixel rows once: the phase
+    # checkpoint carries the fat tile_data column, and each per-level
+    # branch below would rescan it otherwise
+    cur = pixels if top == z else pixels.localCheckpoint(eager=True)
+    for lvl in range(top, min_resolution - 1, -1):
+        rendered_parts.append(render_sparse_level(cur, lvl, renderer))
+        if lvl > min_resolution:
+            cur = downsample_pixels(cur)
+
+    rendered = rendered_parts[0]
+    for part in rendered_parts[1:]:
+        rendered = rendered.unionByName(part)
     rendered = rendered.localCheckpoint(eager=False)
 
     map_df = rendered.select(

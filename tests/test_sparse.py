@@ -55,6 +55,25 @@ def test_sparse_equals_buffer_pipeline(spark, hist):
     assert arr.shape == (256, 256, 4)
 
 
+def test_multi_phase_equals_single_phase(spark, hist):
+    # phase_depth=2 forces the emit_pixels bridge (3 kernel passes at
+    # Z=4); results must be identical to one deep pass
+    one = sparse_pyramid_rendered(spark, hist, Z,
+                                  PngRenderer(compression=1),
+                                  min_resolution=0, phase_depth=16,
+                                  apex_level=0)
+    many = sparse_pyramid_rendered(spark, hist, Z,
+                                   PngRenderer(compression=1),
+                                   min_resolution=0, phase_depth=2,
+                                   apex_level=2)
+    for a, b in zip(one, many):
+        ra = sorted(tuple(bytes(v) if isinstance(v, (bytes, bytearray))
+                          else v for v in row) for row in a.collect())
+        rb = sorted(tuple(bytes(v) if isinstance(v, (bytes, bytearray))
+                          else v for v in row) for row in b.collect())
+        assert ra == rb
+
+
 def test_downsample_pixels_box_semantics(spark):
     # 4 children of one parent pixel with known alphas
     rows = [(3, 10, 10, 255, 255, 255, 100),
