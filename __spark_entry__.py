@@ -204,9 +204,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": lambda s, d: _dedup.simhash_pairs(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: _dedup.ngram_jaccard_pairs(
             _docs(s, d)),
+        "lsh_jaccard_verify": lambda s, d: _dedup.lsh_jaccard_verify(
+            _docs(s, d)),
         # similarity search (embeddings table)
         "ann_topk": lambda s, d: _sim.ann_topk_exact(_emb(s, d)),
         "embedding_neardup": lambda s, d: _sim.embedding_neardup_pairs(
+            _emb(s, d), tau=0.3),
+        "embedding_neardup_lsh": lambda s, d: _sim.embedding_neardup_lsh(
             _emb(s, d), tau=0.3),
         "ann_topk_lsh": lambda s, d: _sim.ann_topk_lsh(_emb(s, d)),
         # text analysis (documents table)
@@ -265,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_encode": _dedup.simhash_sql(),
         "simhash_pairs": _dedup.simhash_pairs_sql(),
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs_sql(),
+        "lsh_jaccard_verify": _dedup.lsh_jaccard_verify_sql(),
         "ann_topk": _sim.ann_topk_exact_sql(),
         "embedding_neardup": _sim.embedding_neardup_pairs_sql(tau=0.3),
         # ann_topk_lsh is approximate by design: rows-only check

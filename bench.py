@@ -40,7 +40,7 @@ from gdal2mbtiles_spark.sources.pages import synth_pages, with_geo
 from gdal2mbtiles_spark.sources.vectors import (polygons_df,
                                                 query_points_df)
 
-BURN_Z = 9           # 512x512 native tiles (~349k pyramid tiles)
+BURN_Z = 10          # 1024x1024 native tiles (~1.2M lit pyramid tiles)
 PAGES_N = 2_000_000  # bench-scale synthetic pages (FIXTURES.md bench N)
 KNN_POINTS = 200_000
 KNN_QUERIES = 200

@@ -331,3 +331,53 @@ def ngram_jaccard_pairs_sql(source: str = "documents",
            / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
     FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
     """
+
+
+# --- LSH-verified exact Jaccard (the web-scale near-dup pipeline) -------------
+
+def lsh_jaccard_verify(docs: DataFrame,
+                       min_est_sim: float = 0.25,
+                       band_cap: int = BAND_CANDIDATE_CAP) -> DataFrame:
+    """Exact 3-gram Jaccard computed ONLY on MinHash-LSH candidate
+    pairs: (doc_a, doc_b, jaccard).
+
+    This is the end-to-end near-dup pipeline at 10^12-doc scale — the
+    standalone ``ngram_jaccard_pairs`` block join is the small-scale
+    fixture; here the candidate set is the LSH output (linear-ish in
+    corpus size under the band cap), and the verify stage is two
+    equi-joins on doc_id that ship shingle arrays only for candidate
+    docs."""
+    cand = minhash_lsh_pairs(docs, min_est_sim=min_est_sim,
+                             band_cap=band_cap)
+    sh = docs.select(
+        "doc_id", F.expr(f"array_distinct({SHINGLES_SPARK})").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sh").alias("sh_b"))
+    inter = F.expr("size(array_intersect(sh_a, sh_b))")
+    union = F.expr("size(array_union(sh_a, sh_b))")
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b",
+                    (inter.cast("double") / union.cast("double"))
+                    .alias("jaccard")))
+
+
+def lsh_jaccard_verify_sql(source: str = "documents",
+                           min_est_sim: float = 0.25,
+                           band_cap: int = BAND_CANDIDATE_CAP) -> str:
+    cand = minhash_lsh_pairs_sql(source, min_est_sim=min_est_sim,
+                                 band_cap=band_cap)
+    return f"""
+    WITH cand AS ({cand}),
+    shs AS (
+      SELECT doc_id, list_distinct({SHINGLES_DUCK}) AS sh
+      FROM {source}
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+    FROM cand c
+    JOIN shs a ON a.doc_id = c.doc_a
+    JOIN shs b ON b.doc_id = c.doc_b
+    """

@@ -231,6 +231,38 @@ def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.9,
                     F.round("score", 6).alias("score")))
 
 
+def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.85,
+                          n_tables: int = 16, bits: int = 4,
+                          bucket_cap: int = 512,
+                          dim: int = DIM) -> DataFrame:
+    """Embedding near-dup pairs at scale: hyperplane-LSH bucket pairs
+    instead of the blocked quadratic join — (vec_a, vec_b, score) with
+    cosine >= tau, candidates = vectors sharing any (table, code)
+    bucket, hot buckets bounded by the same row_number candidate cap
+    as the MinHash bands (dedup._grouped_pairs).  Approximate by
+    design (a pair hashing apart in all tables is missed) — recall
+    asserted against the exact blocked pairs in tests; rows-only
+    correctness gate like ann_topk_lsh."""
+    from .dedup import _grouped_pairs
+
+    spark = emb.sparkSession
+    codes = lsh_codes_udf(spark, n_tables, bits)
+    vlong = (emb.select("vec_id", "embedding",
+                        codes(F.col("embedding")).alias("codes"))
+             .select(F.col("vec_id").alias("doc_id"), "embedding",
+                     F.posexplode("codes").alias("table_idx", "code")))
+    cos = (f"({_dot_spark('ms[i].embedding', 'ms[j].embedding', dim)})"
+           f" / (({_norm_spark('ms[i].embedding', dim)}) * "
+           f"({_norm_spark('ms[j].embedding', dim)}))")
+    pairs = _grouped_pairs(vlong, ("table_idx", "code"), "embedding",
+                           cos, "score", bucket_cap)
+    return (pairs.where(F.col("score") >= tau)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .select(F.col("doc_a").alias("vec_a"),
+                    F.col("doc_b").alias("vec_b"),
+                    F.round("score", 6).alias("score")))
+
+
 def embedding_neardup_pairs_sql(source: str = "embeddings",
                                 tau: float = 0.9,
                                 block_col: str = "label",

@@ -316,6 +316,46 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
     return keyed.mapInPandas(kernel, schema=PHASE_SCHEMA)
 
 
+def _render_apex_driver(spark: SparkSession, pixels: DataFrame,
+                        top: int, bottom: int, renderer) -> DataFrame:
+    """Render pyramid levels [top..bottom] locally on the driver.
+
+    Only called for top <= 2, where the sparse relation is bounded by
+    (256*2^top)^2 rows whatever the input size — the distributed
+    version of these levels is all fixed overhead (tiny exchanges,
+    python-worker round trips) and no work."""
+    pdf = pixels.select("gx", "gy", "r", "g", "b", "a").toPandas()
+    gx = pdf["gx"].to_numpy(np.int64)
+    gy = pdf["gy"].to_numpy(np.int64)
+    ch = [pdf[c].to_numpy().astype(np.int64)
+          for c in ("r", "g", "b", "a")]
+    rows = []
+    canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
+    for lvl in range(top, bottom - 1, -1):
+        n = 1 << lvl
+        tx_all, ty_all = gx >> 8, gy >> 8
+        order = np.lexsort((ty_all, tx_all))
+        key = tx_all[order] * (np.int64(1) << 32) + ty_all[order]
+        _, starts = np.unique(key, return_index=True)
+        bounds = np.append(starts, len(key))
+        for i in range(len(starts)):
+            idx = order[starts[i]:bounds[i + 1]]
+            t_x, t_y = int(tx_all[idx[0]]), int(ty_all[idx[0]])
+            lx = gx[idx] - (t_x << 8)
+            ly = gy[idx] - (t_y << 8)
+            canvas[:] = 0
+            for c in range(4):
+                canvas[ly, lx, c] = ch[c][idx].astype(np.uint8)
+            raw = canvas.tobytes()
+            hx = hashlib.md5(raw).hexdigest()
+            rows.append((lvl, t_x, n - 1 - t_y,
+                         signed_low64(int(hx, 16)), hx,
+                         bytearray(renderer.render(raw))))
+        if lvl > bottom:
+            gx, gy, ch = _shrink_sparse(gx, gy, ch)
+    return spark.createDataFrame(rows, RENDERED_SCHEMA)
+
+
 def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
                             z: int, renderer,
                             min_resolution: int = 0,
@@ -337,15 +377,26 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
     a lazy JVM downsample chain between them — maximum key count per
     level, shallow plans off the last pass's checkpointed seed.
 
+    The pyramid apex below ``driver_apex`` is finished ON THE DRIVER:
+    a level-L sparse relation has at most (256*2^L)^2 rows regardless
+    of input size (<= 1.05M at L=2, ~40 MB), so collecting it is O(1)
+    in data scale, and the local numpy render replaces ~6 tiny
+    stages' worth of fixed scheduling/exchange overhead — serial cost
+    that capped N-vs-4N scaling efficiency.
+
     images: (tile_id, tile_data encoded, tile_hex), canonical row =
     min (z, x, y) per hash (same order-free first-wins as
     pyramid.dedup_tiles); map: (zoom_level, tile_column, tile_row,
     tile_id).  Dup tiles cost one wasted encode each — the trade for
     never shuffling payloads; use the buffer pipeline when the dup
     ratio is high (constant oceans etc.)."""
-    pixels = heat_pixels(hist, z).localCheckpoint(eager=True)
-    rendered_parts = []
+    pixels = heat_pixels(hist, z)
     apex_top = min(max(apex_level - 1, min_resolution - 1), z)
+    if z <= apex_top:
+        # no phased passes: the per-level apex chain fans multiple
+        # consumers off the native relation — materialize it once
+        pixels = pixels.localCheckpoint(eager=True)
+    rendered_parts = []
     top = z
     while top > apex_top:
         bottom = max(min_resolution, apex_top + 1,
@@ -368,10 +419,16 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
     # checkpoint carries the fat tile_data column, and each per-level
     # branch below would rescan it otherwise
     cur = pixels if top == z else pixels.localCheckpoint(eager=True)
-    for lvl in range(top, min_resolution - 1, -1):
+    driver_apex = 2          # <= (256*2^2)^2 = 1.05M rows, any scale
+    lvl = top
+    while lvl >= min_resolution and lvl > driver_apex:
         rendered_parts.append(render_sparse_level(cur, lvl, renderer))
         if lvl > min_resolution:
             cur = downsample_pixels(cur)
+        lvl -= 1
+    if lvl >= min_resolution:
+        rendered_parts.append(_render_apex_driver(
+            spark, cur, lvl, min_resolution, renderer))
 
     rendered = rendered_parts[0]
     for part in rendered_parts[1:]:

@@ -111,6 +111,25 @@ def test_simhash_cap_matches_duckdb_oracle(spark):
     pd.testing.assert_frame_equal(sdf, duck, check_dtype=False)
 
 
+def test_lsh_jaccard_verify_matches_duckdb(spark):
+    rows = ([(i, "the quick brown fox jumps over the lazy dog")
+             for i in range(6)]
+            + [(10 + i, "the quick brown fox jumps over the sleepy cat "
+                + "extra " * i) for i in range(4)]
+            + [(50 + i, f"totally unrelated text number {i} here now")
+               for i in range(5)])
+    docs = _docs(spark, rows)
+    sdf = (D.lsh_jaccard_verify(docs, min_est_sim=0.2)
+           .orderBy("doc_a", "doc_b").toPandas())
+    duck = _duck(rows).execute(
+        D.lsh_jaccard_verify_sql(min_est_sim=0.2)
+        + " ORDER BY doc_a, doc_b").df()
+    pd.testing.assert_frame_equal(sdf, duck, check_dtype=False)
+    # identical docs verify at jaccard exactly 1.0
+    ident = sdf[(sdf.doc_a < 6) & (sdf.doc_b < 6)]
+    assert len(ident) == 15 and (ident.jaccard == 1.0).all()
+
+
 def test_no_persisted_rdds_leak(spark):
     """minhash_lsh_pairs must not leave cached RDDs behind
     (VERDICT round 1: sigs.persist() was never unpersisted)."""

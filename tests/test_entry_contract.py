@@ -49,7 +49,8 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert set(os_).issubset(set(qs))
     # every non-oracled query is intentionally approximate/rows-only
-    assert set(qs) - set(os_) == {"ann_topk_lsh"}
+    assert set(qs) - set(os_) == {"ann_topk_lsh",
+                                  "embedding_neardup_lsh"}
 
 
 @pytest.mark.parametrize("name", sorted(
@@ -71,6 +72,26 @@ def test_ann_lsh_recall(spark):
               for r in ann_topk_lsh(emb).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """The LSH-bucketed near-dup must recover most of the blocked
+    exact pairs at the same tau (same-label vectors are correlated in
+    the fixture, so they collide in at least one table)."""
+    from gdal2mbtiles_spark.operators.similarity import (
+        embedding_neardup_lsh, embedding_neardup_pairs)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in embedding_neardup_pairs(emb, tau=0.3).collect()}
+    approx = {(r["vec_a"], r["vec_b"])
+              for r in embedding_neardup_lsh(emb, tau=0.3).collect()}
+    assert exact, "fixture must produce exact pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # every reported pair really is >= tau (no false positives on the
+    # score itself — LSH only affects candidate generation)
+    for r in embedding_neardup_lsh(emb, tau=0.3).collect():
+        assert r["score"] >= 0.3
 
 
 def test_ann_matmul_matches_exact(spark):
