@@ -1,0 +1,105 @@
+"""Structured Streaming surface: continuous page ingest -> geocode ->
+windowed tile rollups, plus stateful streaming dedup.
+
+The reference is a batch CLI (SURVEY §2.9: no streaming required), but
+a web-scale ingest pipeline consumes the same operators continuously;
+this module re-expresses the engine's point pipeline on
+``readStream``: every transformation below is the SAME Column
+expression used by the batch path (sources.pages / functions.tilemath
+/ operators.burn), so batch/stream parity is by construction — only
+the source and sink differ.
+
+Scale notes: the tile rollup is an incremental stateful aggregation
+keyed by (window, tile) — state size is bounded by (active windows x
+lit tiles), and the watermark expires closed windows so state does not
+grow with stream length.  Streaming exact-dedup keys state by
+md5(text); the watermark bounds how long a hash is remembered, which
+is the standard bounded-state trade for unbounded streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.pages import EPOCH_2025, LANGS
+
+
+def stream_pages(spark: SparkSession, rows_per_second: int = 1000,
+                 n_hosts: int = 100) -> DataFrame:
+    """Unbounded pages stream from the rate source.
+
+    Each rate tick becomes one synthetic page via the SAME expressions
+    as sources.pages.synth_pages (byte-identical text per url), with
+    ``warc_ts`` as the event-time column."""
+    rate = (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load())
+    url = F.concat(F.lit("https://site"),
+                   (F.col("value") % n_hosts).cast("string"),
+                   F.lit(".example/"),
+                   F.lpad(F.col("value").cast("string"), 8, "0"))
+    text = F.concat_ws(
+        " ", F.md5(url), F.md5(F.concat(url, F.lit("1"))),
+        F.md5(F.concat(url, F.lit("2"))),
+        F.md5(F.concat(url, F.lit("3"))))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]),
+        (F.conv(F.substring(F.md5(url), 1, 2), 16, 10).cast("int")
+         % len(LANGS)) + 1)
+    return rate.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(EPOCH_2025) + F.col("value"))
+        .alias("warc_ts"),
+        text.alias("text"),
+        lang.alias("lang"))
+
+
+def with_stream_geo(pages: DataFrame, tile_z: int = 7) -> DataFrame:
+    """Attach the deterministic geocode + TMS tile keys (identical
+    expressions to sources.pages.with_geo — narrow, streaming-safe)."""
+    from .functions.tilemath import geo_lat, geo_lon, tile_x, tile_y_tms
+    lon = geo_lon(F.col("url"))
+    lat = geo_lat(F.col("url"))
+    return (pages.withColumn("lon", lon).withColumn("lat", lat)
+            .withColumn("tile_z", F.lit(tile_z).cast("int"))
+            .withColumn("tile_x", tile_x(F.col("lon"), tile_z))
+            .withColumn("tile_y", tile_y_tms(F.col("lat"), tile_z)))
+
+
+def streaming_tile_counts(pages: DataFrame, tile_z: int = 7,
+                          window: str = "1 minute",
+                          watermark: str = "2 minutes") -> DataFrame:
+    """Event-time windowed tile rollup with late-data handling:
+    (window, z, x, y, n_pages).
+
+    Incremental partial aggregation (update-mode compatible); the
+    watermark expires window state once no row older than
+    ``watermark`` can arrive."""
+    geo = with_stream_geo(pages, tile_z=tile_z)
+    return (geo.withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("win"),
+                     "tile_z", "tile_x", "tile_y")
+            .agg(F.count("*").alias("n_pages"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("tile_z").alias("z"),
+                    F.col("tile_x").alias("x"),
+                    F.col("tile_y").alias("y"), "n_pages"))
+
+
+def streaming_exact_dedup(pages: DataFrame,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Streaming A1: keep the first arrival of each distinct text
+    (state keyed by md5(text), bounded by the watermark)."""
+    return (pages
+            .withColumn("text_md5", F.md5(F.col("text")))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicates(["text_md5"]))
+
+
+def run_stream_to_memory(stream: DataFrame, name: str,
+                         output_mode: str = "update"):
+    """Test/demo sink: run the streaming query into an in-memory table
+    and return the StreamingQuery (caller: processAllAvailable(),
+    then spark.table(name))."""
+    return (stream.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).start())
