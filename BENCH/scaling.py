@@ -32,7 +32,11 @@ def run_bench(cores: int, sf_dir: str, pyramid_only: bool = False,
     for _ in range(repeats):
         env = dict(os.environ,
                    SPARK_GRAFT_CPUS=str(cores),
-                   SPARK_GRAFT_SF_DIR=sf_dir)
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   # fair N-vs-4N: cap each leg's JVM at 2*cores
+                   # visible processors so the small leg can't borrow
+                   # idle host CPUs for GC/JIT (session.py)
+                   SPARK_GRAFT_CAP_PROCS="1")
         if pyramid_only:
             env["SPARK_GRAFT_BENCH_ONLY"] = "pyramid"
         t0 = time.time()
@@ -78,7 +82,12 @@ def main():
         "",
         "Note on N: every kernel task occupies ~2 threads (a JVM task",
         "thread plus its Arrow-fed Python worker), so on this 32-CPU",
-        "box the saturation-fair pair is local[4] vs local[16]",
+        "box the saturation-fair pair is local[4] vs local[16],",
+        "and each leg's JVM is capped at 2N visible processors",
+        "(-XX:ActiveProcessorCount) so the small leg cannot borrow",
+        "idle host CPUs for GC/JIT that a real 4-core executor",
+        "would not have (measured ~10% inflation without the cap).",
+        "The pair is",
         "(8 vs 32 busy threads); local[32] would oversubscribe 2x and",
         "measure contention, not scaling.  The host also steals",
         "~10-15% CPU under full load (multi-tenant VM); the 4-core",

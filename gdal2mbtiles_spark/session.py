@@ -42,6 +42,18 @@ def get_spark(cores: Optional[int] = None,
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
+    )
+    # Scaling-evidence fairness (BENCH/scaling.py sets this): cap the
+    # JVM's visible processors at 2*cores (one JVM task thread + one
+    # python worker per task) so a local[4] leg on a 32-CPU host can't
+    # borrow idle CPUs for GC/JIT/compression that a real 4-core
+    # executor would not have.
+    if os.environ.get("SPARK_GRAFT_CAP_PROCS") == "1":
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={2 * cores}")
+    builder = (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
