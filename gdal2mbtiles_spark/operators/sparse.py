@@ -420,20 +420,31 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
     # branch below would rescan it otherwise
     cur = pixels if top == z else pixels.localCheckpoint(eager=True)
     driver_apex = 2          # <= (256*2^2)^2 = 1.05M rows, any scale
+    apex_parts = []
     lvl = top
     while lvl >= min_resolution and lvl > driver_apex:
-        rendered_parts.append(render_sparse_level(cur, lvl, renderer))
+        apex_parts.append(render_sparse_level(cur, lvl, renderer))
         if lvl > min_resolution:
             cur = downsample_pixels(cur)
         lvl -= 1
     if lvl >= min_resolution:
-        rendered_parts.append(_render_apex_driver(
+        apex_parts.append(_render_apex_driver(
             spark, cur, lvl, min_resolution, renderer))
+    if apex_parts:
+        # the phased parts above are filters over eager checkpoints —
+        # rescanning them per consumer is cheap block reads; only the
+        # apex renders are fresh compute, so checkpoint just their
+        # small union instead of duplicating the full rendered
+        # relation's blocks (the old full-union checkpoint re-wrote
+        # ~1.2 GB of already-checkpointed tiles at z10)
+        apex = apex_parts[0]
+        for part in apex_parts[1:]:
+            apex = apex.unionByName(part)
+        rendered_parts.append(apex.localCheckpoint(eager=False))
 
     rendered = rendered_parts[0]
     for part in rendered_parts[1:]:
         rendered = rendered.unionByName(part)
-    rendered = rendered.localCheckpoint(eager=False)
 
     map_df = rendered.select(
         F.col("z").alias("zoom_level"),
