@@ -87,14 +87,50 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame,
                           res: int = DEFAULT_RES,
                           point_id: str = "url",
                           lon: str = "lon", lat: str = "lat",
-                          cell: str = "cell") -> DataFrame:
+                          cell: str = "cell",
+                          broadcast_polys: bool = True) -> DataFrame:
     """points (with ``cell`` at ``res``) x polys(poly_id, xs, ys,
     cells) -> (point_id, poly_id) pairs where the point lies inside.
 
-    Coarse phase: broadcast equi-join on exploded cover cells (no
-    shuffle of the big side).  Fine phase: exact ray cast per
-    candidate batch, grouped by poly within each Arrow batch."""
+    broadcast_polys=True (dimension-sized poly sets): coarse phase is
+    a broadcast equi-join on exploded cover cells (no shuffle of the
+    big side); the refine reads vertices from a driver-built broadcast
+    dict.  broadcast_polys=False (huge poly sets, ~10^6+): no driver
+    collect and no broadcast — covers AND vertex arrays shuffle-join
+    points on the cell key, and the refine reads the vertex columns
+    riding each candidate row.  Both paths run the identical
+    vectorized ray-cast, so output rows are the same."""
     spark = points.sparkSession
+    if not broadcast_polys:
+        poly_cells = polys.select(
+            "poly_id", "xs", "ys", F.explode("cells").alias(cell))
+        cand = points.select(point_id, lon, lat, cell).join(
+            poly_cells, cell)
+
+        def refine(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pl = pdf[lon].to_numpy(np.float64)
+                pt = pdf[lat].to_numpy(np.float64)
+                pid = pdf["poly_id"].to_numpy()
+                keep = np.zeros(len(pdf), dtype=bool)
+                # vectorize per poly within the batch (same grouping
+                # trick as the broadcast path's UDF)
+                for p in np.unique(pid):
+                    m = pid == p
+                    first = int(np.flatnonzero(m)[0])
+                    xs = np.asarray(pdf["xs"].iloc[first], np.float64)
+                    ys = np.asarray(pdf["ys"].iloc[first], np.float64)
+                    keep[m] = ray_cast_contains(pl[m], pt[m], xs, ys)
+                out = pdf.loc[keep, [point_id, "poly_id"]]
+                if len(out):
+                    yield out
+
+        return cand.mapInPandas(
+            refine, schema=f"{point_id} string, poly_id int")
+
     verts: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
         int(r["poly_id"]): (np.array(r["xs"]), np.array(r["ys"]))
         for r in polys.select("poly_id", "xs", "ys").collect()}

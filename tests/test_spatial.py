@@ -51,6 +51,19 @@ class TestRayCast:
 
 
 class TestPipJoin:
+    def test_shuffle_path_matches_broadcast_path(self, spark,
+                                                 geo_pages):
+        # broadcast_polys=False is the 10^6-polygon path: no driver
+        # collect, covers+vertices shuffle-join points on the cell key
+        polys = polygons_df(spark, 50)
+        a = {(r["url"], r["poly_id"])
+             for r in point_in_polygon_join(geo_pages, polys)
+             .collect()}
+        b = {(r["url"], r["poly_id"])
+             for r in point_in_polygon_join(
+                 geo_pages, polys, broadcast_polys=False).collect()}
+        assert a == b and len(a) > 0
+
     def test_matches_bruteforce(self, spark, geo_pages):
         polys = polygons_df(spark, 50)
         got = {(r["url"], r["poly_id"])
