@@ -169,6 +169,42 @@ def _q_olap_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_items")))
 
 
+RECALL_FLOOR = 0.6
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 scale path with a driver-verified signal: Spark measures
+    recall@k of the approximate ann_topk_lsh against the exact top-k;
+    the oracle recomputes the exact side in DuckDB and asserts the
+    recall floor as a literal TRUE — the hash match therefore checks
+    BOTH exact-side parity and that measured recall >= 0.6 (an LSH
+    regression flips recall_ok to false and reddens the gate row)."""
+    emb = _emb(spark, sf_dir)
+    exact = _sim.ann_topk_exact(emb).select("query_id", "vec_id")
+    lsh = _sim.ann_topk_lsh(emb).select("query_id", "vec_id")
+    n_exact = exact.count()
+    n_hit = exact.join(lsh, ["query_id", "vec_id"]).count()
+    return spark.createDataFrame(
+        [(n_exact, bool(n_hit >= RECALL_FLOOR * n_exact))],
+        "n_exact bigint, recall_ok boolean")
+
+
+def _q_embedding_neardup_lsh_recall(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Same driver-verified recall contract for the LSH-bucketed
+    near-dup pairs vs the exact blocked pairs at tau=0.3."""
+    emb = _emb(spark, sf_dir)
+    exact = (_sim.embedding_neardup_pairs(emb, tau=0.3)
+             .select("vec_a", "vec_b"))
+    lsh = (_sim.embedding_neardup_lsh(emb, tau=0.3)
+           .select("vec_a", "vec_b"))
+    n_exact = exact.count()
+    n_hit = exact.join(lsh, ["vec_a", "vec_b"]).count()
+    return spark.createDataFrame(
+        [(n_exact, bool(n_hit >= RECALL_FLOOR * n_exact))],
+        "n_exact bigint, recall_ok boolean")
+
+
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: cell-partitioned broadcast point-in-polygon join."""
     pages = with_geo(synth_pages(spark, PAGES_N))
@@ -181,7 +217,7 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = with_geo(synth_pages(spark, KNN_N))
     queries_df = query_points_df(spark, KNN_Q)
     return (knn_join(pages, queries_df, res=5)
-            .select("query_id", "rank", "url"))
+            .select("query_id", "rank", "url", "settled"))
 
 
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,9 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": lambda s, d: _sim.ann_topk_exact(_emb(s, d)),
         "embedding_neardup": lambda s, d: _sim.embedding_neardup_pairs(
             _emb(s, d), tau=0.3),
-        "embedding_neardup_lsh": lambda s, d: _sim.embedding_neardup_lsh(
-            _emb(s, d), tau=0.3),
-        "ann_topk_lsh": lambda s, d: _sim.ann_topk_lsh(_emb(s, d)),
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh_recall,
+        "ann_topk_lsh": _q_ann_lsh_recall,
         # text analysis (documents table)
         "token_counts": lambda s, d: _text.token_counts(_docs(s, d)),
         "lang_id": lambda s, d: _text.lang_id(_docs(s, d)),
@@ -272,7 +307,17 @@ def oracle_sql() -> dict[str, str]:
         "lsh_jaccard_verify": _dedup.lsh_jaccard_verify_sql(),
         "ann_topk": _sim.ann_topk_exact_sql(),
         "embedding_neardup": _sim.embedding_neardup_pairs_sql(tau=0.3),
-        # ann_topk_lsh is approximate by design: rows-only check
+        # approximate-by-design LSH ops: the gate row is a recall
+        # check — DuckDB recomputes the EXACT side; recall_ok is the
+        # literal floor assertion the Spark side must have met
+        "ann_topk_lsh": f"""
+            WITH exact AS ({_sim.ann_topk_exact_sql()})
+            SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok
+            FROM exact""",
+        "embedding_neardup_lsh": f"""
+            WITH exact AS ({_sim.embedding_neardup_pairs_sql(tau=0.3)})
+            SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok
+            FROM exact""",
         "token_counts": _text.token_counts_sql(),
         "lang_id": _text.lang_id_sql(),
         "quality_score": _text.quality_score_sql(),
@@ -346,7 +391,8 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY query_id
                              ORDER BY dist, url) AS rank
                   FROM d)
-            SELECT query_id, rank::INT AS rank, url
+            SELECT query_id, rank::INT AS rank, url,
+                   TRUE AS settled
             FROM r WHERE rank <= k""",
         "extract_poly_stats": f"""
             WITH {_pages_cte(PYRAMID_N)},

@@ -43,17 +43,48 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8"
 
 
+def _is_supported_baseline_jpeg(media: bytes) -> bool:
+    """True only for frames jpeg.decode_jpeg_rgb actually supports:
+    SOF0, 8-bit, 3 components, 4:4:4 (0x11) sampling.  A real-world
+    progressive (SOF2) or 4:2:0 file must NOT be routed into the
+    decoder — it would fail deep inside instead of taking the clean
+    NotImplementedError/fake path (round-2 ADVICE)."""
+    i, n = 2, len(media)
+    while i + 4 <= n and media[i] == 0xFF:
+        marker = media[i + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:   # standalone
+            i += 2
+            continue
+        seg_len = int.from_bytes(media[i + 2:i + 4], "big")
+        if marker == 0xC0:                              # SOF0 baseline
+            seg = media[i + 4:i + 2 + seg_len]
+            if len(seg) < 6:
+                return False
+            precision, ncomp = seg[0], seg[5]
+            if precision != 8 or ncomp != 3 or len(seg) < 6 + 3 * 3:
+                return False
+            return all(seg[6 + 3 * c + 1] == 0x11 for c in range(3))
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                      0xCA, 0xCB, 0xCD, 0xCE, 0xCF):    # other SOFs
+            return False
+        if marker == 0xDA:                              # SOS, no SOF
+            return False
+        i += 2 + seg_len
+    return False
+
+
 def _decode_rgb_stub(media: bytes, width: int, height: int,
                      fake: bool) -> np.ndarray:
     """Codec boundary.  PNG and baseline JPEG decode for real through
-    the engine's own zero-dependency codecs (magic-byte dispatch);
-    anything else is either the deterministic fake (bytes tiled into
-    the requested shape) or NotImplementedError — swap in PIL/ffmpeg
-    on a cluster that has them for the remaining formats."""
+    the engine's own zero-dependency codecs (magic-byte dispatch with
+    frame-header validation); anything else is either the
+    deterministic fake (bytes tiled into the requested shape) or
+    NotImplementedError — swap in PIL/ffmpeg on a cluster that has
+    them for the remaining formats."""
     if media[:8] == _PNG_MAGIC:
         from ..renderers import decode_png_rgba
         return decode_png_rgba(media)[:, :, :3]
-    if media[:2] == _JPEG_MAGIC:
+    if media[:2] == _JPEG_MAGIC and _is_supported_baseline_jpeg(media):
         from ..jpeg import decode_jpeg_rgb
         return decode_jpeg_rgb(media)
     if not fake:

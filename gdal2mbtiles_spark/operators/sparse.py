@@ -360,7 +360,8 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
                             z: int, renderer,
                             min_resolution: int = 0,
                             phase_depth: int = 5,
-                            apex_level: int = 5
+                            apex_level: int = 5,
+                            broadcast_canon: Optional[bool] = None
                             ) -> Tuple[DataFrame, DataFrame]:
     """Full fused pipeline: histogram -> phased multi-level kernels ->
     per-level apex -> (images, map).
@@ -389,7 +390,16 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
     pyramid.dedup_tiles); map: (zoom_level, tile_column, tile_row,
     tile_id).  Dup tiles cost one wasted encode each — the trade for
     never shuffling payloads; use the buffer pipeline when the dup
-    ratio is high (constant oceans etc.)."""
+    ratio is high (constant oceans etc.).
+
+    broadcast_canon=None (default) mirrors dedup_tiles' estimate-then-
+    choose: a narrow distinct-id count (over already-checkpointed
+    blocks — cheap) sizes the canon relation against
+    spark.sql.autoBroadcastJoinThreshold; the payload-shuffle-free
+    broadcast plan is used only when canon fits, otherwise a min_by
+    aggregate (payloads shuffle once, but nothing is collected to the
+    driver — the plan that survives a 100x distinct-image count).
+    Pass True/False to force a path and skip the counting pass."""
     pixels = heat_pixels(hist, z)
     apex_top = min(max(apex_level - 1, min_resolution - 1), z)
     if z <= apex_top:
@@ -450,13 +460,35 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         F.col("z").alias("zoom_level"),
         F.col("x").alias("tile_column"),
         F.col("y").alias("tile_row"), "tile_id")
-    canon = (rendered.select("tile_id", "z", "x", "y")
-             .groupBy("tile_id")
-             .agg(F.min(F.struct("z", "x", "y")).alias("_c"))
-             .select(F.col("tile_id").alias("_ctid"), "_c"))
-    images = (rendered.join(
-        F.broadcast(canon),
-        (F.col("tile_id") == F.col("_ctid"))
-        & (F.struct("z", "x", "y") == F.col("_c")), "inner")
-        .select("tile_id", "tile_data", "tile_hex"))
+
+    if broadcast_canon is None:
+        # rendered is (mostly) filters over eager checkpoints, so the
+        # narrow distinct count is block reads + one small agg — the
+        # same auto-select dedup_tiles uses (round-2 VERDICT: the
+        # unconditional broadcast here was the headline plan's one
+        # scale hole)
+        from .pyramid import _CANON_ROW_BYTES, _broadcast_threshold
+        n_images = rendered.select("tile_id").distinct().count()
+        broadcast_canon = (n_images * _CANON_ROW_BYTES
+                           < _broadcast_threshold(spark))
+
+    if broadcast_canon:
+        canon = (rendered.select("tile_id", "z", "x", "y")
+                 .groupBy("tile_id")
+                 .agg(F.min(F.struct("z", "x", "y")).alias("_c"))
+                 .select(F.col("tile_id").alias("_ctid"), "_c"))
+        images = (rendered.join(
+            F.broadcast(canon),
+            (F.col("tile_id") == F.col("_ctid"))
+            & (F.struct("z", "x", "y") == F.col("_c")), "inner")
+            .select("tile_id", "tile_data", "tile_hex"))
+    else:
+        # distinct-image relation too big to broadcast: pick the
+        # canonical payload in ONE hash aggregate.  Payloads (already
+        # encoded, ~KB) cross an exchange once; no driver collect, no
+        # broadcast — bounded at any distinct-image count.
+        images = (rendered.groupBy("tile_id")
+                  .agg(F.min_by("tile_data", F.struct("z", "x", "y"))
+                       .alias("tile_data"),
+                       F.min("tile_hex").alias("tile_hex")))
     return images, map_df

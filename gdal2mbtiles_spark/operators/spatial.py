@@ -83,12 +83,19 @@ def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
 
 # --- J5: point-in-polygon join -----------------------------------------------
 
+# estimated broadcast bytes per exploded (poly_id, cell) cover row and
+# per vertex float in the driver-collected dict
+_COVER_ROW_BYTES = 48
+_VERT_BYTES = 16
+
+
 def point_in_polygon_join(points: DataFrame, polys: DataFrame,
                           res: int = DEFAULT_RES,
                           point_id: str = "url",
                           lon: str = "lon", lat: str = "lat",
                           cell: str = "cell",
-                          broadcast_polys: bool = True) -> DataFrame:
+                          broadcast_polys: Optional[bool] = None,
+                          n_salts: int = 1) -> DataFrame:
     """points (with ``cell`` at ``res``) x polys(poly_id, xs, ys,
     cells) -> (point_id, poly_id) pairs where the point lies inside.
 
@@ -99,13 +106,44 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame,
     collect and no broadcast — covers AND vertex arrays shuffle-join
     points on the cell key, and the refine reads the vertex columns
     riding each candidate row.  Both paths run the identical
-    vectorized ray-cast, so output rows are the same."""
+    vectorized ray-cast, so output rows are the same.
+
+    broadcast_polys=None (default) decides automatically from one
+    narrow aggregation over polys (cover-cell + vertex counts sized
+    against spark.sql.autoBroadcastJoinThreshold), so a 10^6-polygon
+    input can never OOM the driver by default.
+
+    n_salts > 1 salts the shuffle path's cell join: points carry a
+    deterministic pmod salt (skew.with_salt), covers replicate across
+    all salts, and the equi-join runs on (cell, salt) — a hot cell
+    (boilerplate city at 10^12 pages) spreads over up to n_salts
+    reducers instead of one (north_rule: "explicit salted
+    repartitioning on hot H3 cells").  Ignored on the broadcast path,
+    which never shuffles the big side at all."""
+    from .pyramid import _broadcast_threshold
+    from .skew import with_salt
+
     spark = points.sparkSession
+    if broadcast_polys is None:
+        est = polys.select(
+            F.sum(F.size("cells")).alias("nc"),
+            F.sum(F.size("xs")).alias("nv")).first()
+        est_bytes = ((est["nc"] or 0) * _COVER_ROW_BYTES
+                     + (est["nv"] or 0) * 2 * _VERT_BYTES)
+        broadcast_polys = est_bytes < _broadcast_threshold(spark)
     if not broadcast_polys:
         poly_cells = polys.select(
             "poly_id", "xs", "ys", F.explode("cells").alias(cell))
-        cand = points.select(point_id, lon, lat, cell).join(
-            poly_cells, cell)
+        pts = points.select(point_id, lon, lat, cell)
+        if n_salts > 1:
+            pts = with_salt(pts, n_salts=n_salts,
+                            entropy_cols=[point_id])
+            poly_cells = poly_cells.crossJoin(
+                spark.range(n_salts).select(
+                    F.col("id").cast("int").alias("_salt")))
+            cand = pts.join(poly_cells, [cell, "_salt"])
+        else:
+            cand = pts.join(poly_cells, cell)
 
         def refine(batches: Iterator[pd.DataFrame]
                    ) -> Iterator[pd.DataFrame]:
@@ -128,8 +166,13 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame,
                 if len(out):
                     yield out
 
+        # preserve the input column types (the broadcast path keeps
+        # them implicitly via where(); hardcoding string/int here made
+        # the two paths diverge for bigint ids — round-2 ADVICE)
+        pid_t = points.schema[point_id].dataType.simpleString()
+        poly_t = polys.schema["poly_id"].dataType.simpleString()
         return cand.mapInPandas(
-            refine, schema=f"{point_id} string, poly_id int")
+            refine, schema=f"{point_id} {pid_t}, poly_id {poly_t}")
 
     verts: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
         int(r["poly_id"]): (np.array(r["xs"]), np.array(r["ys"]))
@@ -186,11 +229,20 @@ def knn_join(points: DataFrame, queries: DataFrame,
              lon: str = "lon", lat: str = "lat",
              k_col: str = "k",
              max_iters: int = 8) -> DataFrame:
-    """Exact k-nearest-neighbours: (query_id, rank, point_id, dist_km).
+    """k-nearest-neighbours:
+    (query_id, rank, point_id, dist_km, settled).
 
     queries: (query_id, lon, lat, k).  points must carry lon/lat; the
     cell at ``res`` is derived here.  Iterative ring expansion with a
-    conservative settle guarantee (module docstring)."""
+    conservative settle guarantee (module docstring).
+
+    ``settled`` is True for rows proven exact (the query satisfied
+    the great-circle settle guarantee, or its ring covered the whole
+    grid).  Rows emitted by the max_iters terminal flush carry
+    settled=False: they are best-effort top-k that MAY miss a closer
+    point outside the last ring — callers can filter or alert on
+    them instead of silently receiving inexact neighbours (round-2
+    ADVICE)."""
     from ..functions.tilemath import cell_id
 
     spark = points.sparkSession
@@ -245,13 +297,13 @@ def knn_join(points: DataFrame, queries: DataFrame,
                 .where(F.col("rank") <= F.col("_k")))
 
         if covers_world:
-            settled.append(topk)
+            settled.append(topk.withColumn("settled", F.lit(True)))
             break
         if it == max_iters - 1:
             # terminal flush: emit best-effort top-k for queries that
             # never satisfied the settle guarantee within max_iters
-            # (instead of silently dropping them)
-            settled.append(topk)
+            # (instead of silently dropping them) — flagged inexact
+            settled.append(topk.withColumn("settled", F.lit(False)))
             break
 
         # settle guarantee: kth distance within the ring-covered
@@ -291,7 +343,8 @@ def knn_join(points: DataFrame, queries: DataFrame,
             (F.col("_n") >= F.col("_k"))
             & (F.col("_kth") <= F.col("_guard"))).select("query_id")
         settled.append(topk.join(F.broadcast(done_ids), "query_id",
-                                 "left_semi"))
+                                 "left_semi")
+                       .withColumn("settled", F.lit(True)))
         remaining = remaining.join(F.broadcast(done_ids), "query_id",
                                    "left_anti").persist()
         cached.append(remaining)
@@ -304,7 +357,7 @@ def knn_join(points: DataFrame, queries: DataFrame,
         out = out.unionByName(s)
     out = out.select("query_id", "rank",
                      F.col("_pid").alias(point_id),
-                     F.col("_dist").alias("dist_km"))
+                     F.col("_dist").alias("dist_km"), "settled")
     # materialize once (iteration caches still hot), then release every
     # cache this call created — the caller gets a self-contained result
     out = out.localCheckpoint(eager=True)

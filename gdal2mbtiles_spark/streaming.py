@@ -13,8 +13,9 @@ Scale notes: the tile rollup is an incremental stateful aggregation
 keyed by (window, tile) — state size is bounded by (active windows x
 lit tiles), and the watermark expires closed windows so state does not
 grow with stream length.  Streaming exact-dedup keys state by
-md5(text); the watermark bounds how long a hash is remembered, which
-is the standard bounded-state trade for unbounded streams.
+md5(text) via ``dropDuplicatesWithinWatermark``, whose state store
+evicts a hash once the watermark passes its last-seen event time —
+bounded state by construction (see streaming_exact_dedup).
 """
 
 from __future__ import annotations
@@ -88,12 +89,22 @@ def streaming_tile_counts(pages: DataFrame, tile_z: int = 7,
 
 def streaming_exact_dedup(pages: DataFrame,
                           watermark: str = "10 minutes") -> DataFrame:
-    """Streaming A1: keep the first arrival of each distinct text
-    (state keyed by md5(text), bounded by the watermark)."""
+    """Streaming A1: keep the first arrival of each distinct text.
+
+    Uses ``dropDuplicatesWithinWatermark`` so state keyed by
+    md5(text) is actually EVICTED once the watermark passes a hash's
+    last-seen event time.  Plain ``dropDuplicates(['text_md5'])``
+    would only evict state if the event-time column were part of the
+    dedup subset — with a non-event-time key its state grows
+    unboundedly on a long stream (round-2 ADVICE).  Semantics:
+    duplicates arriving within the watermark delay of each other are
+    suppressed; a hash re-appearing after its state expired is
+    emitted again — the standard bounded-state trade for unbounded
+    streams."""
     return (pages
             .withColumn("text_md5", F.md5(F.col("text")))
             .withWatermark("warc_ts", watermark)
-            .dropDuplicates(["text_md5"]))
+            .dropDuplicatesWithinWatermark(["text_md5"]))
 
 
 def run_stream_to_memory(stream: DataFrame, name: str,

@@ -48,9 +48,10 @@ def test_every_query_has_callable_signature():
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert set(os_).issubset(set(qs))
-    # every non-oracled query is intentionally approximate/rows-only
-    assert set(qs) - set(os_) == {"ann_topk_lsh",
-                                  "embedding_neardup_lsh"}
+    # round 3: every query carries an oracle — the approximate LSH
+    # ops are gated via recall-check rows (exact side recomputed in
+    # DuckDB, recall floor asserted as a literal)
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.parametrize("name", sorted(

@@ -74,6 +74,36 @@ def test_multi_phase_equals_single_phase(spark, hist):
         assert ra == rb
 
 
+def test_canon_paths_identical(spark, hist):
+    # force the broadcast-join canon and the min_by-aggregate canon
+    # (the at-scale fallback when the distinct-image relation would
+    # not fit a broadcast): identical (images, map) rows
+    a = sparse_pyramid_rendered(spark, hist, Z,
+                                PngRenderer(compression=1),
+                                min_resolution=0, broadcast_canon=True)
+    b = sparse_pyramid_rendered(spark, hist, Z,
+                                PngRenderer(compression=1),
+                                min_resolution=0, broadcast_canon=False)
+    for da, db in zip(a, b):
+        ra = sorted(tuple(bytes(v) if isinstance(v, (bytes, bytearray))
+                          else v for v in row) for row in da.collect())
+        rb = sorted(tuple(bytes(v) if isinstance(v, (bytes, bytearray))
+                          else v for v in row) for row in db.collect())
+        assert ra == rb
+
+
+def test_canon_auto_select_small_broadcasts(spark, hist):
+    # at test scale the distinct-image count is tiny: auto (None) must
+    # pick the broadcast plan and match the forced-broadcast output
+    auto_imgs, _ = sparse_pyramid_rendered(
+        spark, hist, Z, PngRenderer(compression=1), min_resolution=0)
+    forced_imgs, _ = sparse_pyramid_rendered(
+        spark, hist, Z, PngRenderer(compression=1), min_resolution=0,
+        broadcast_canon=True)
+    assert ({r["tile_hex"] for r in auto_imgs.collect()}
+            == {r["tile_hex"] for r in forced_imgs.collect()})
+
+
 def test_downsample_pixels_box_semantics(spark):
     # 4 children of one parent pixel with known alphas
     rows = [(3, 10, 10, 255, 255, 255, 100),
