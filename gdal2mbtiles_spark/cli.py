@@ -35,7 +35,13 @@ COLORING_METHODS = {
     "palette": ColorPalette,
 }
 
-RESAMPLING_METHODS = ["near", "bilinear"]
+# same surface as the reference's gdal.py:65-71 RESAMPLING_METHODS
+RESAMPLING_METHODS = ["near", "bilinear", "cubic", "cubicspline",
+                      "lanczos"]
+
+# the CLI's grid SRSs (reference accepts any gdalwarp -t_srs; this
+# engine's closed-form grid math covers the two tile profiles)
+SUPPORTED_EPSG = (3857, 4326)
 
 
 def color_arg(s: str):
@@ -155,7 +161,16 @@ def parse_args(args):
 
 
 def load_tiles(spark, args):
-    """INPUT -> (native tiles DataFrame, RasterMeta)."""
+    """INPUT -> (native tiles DataFrame, RasterMeta, warped: bool).
+
+    Tile-aligned descriptors slice directly (native_tiles).  An
+    unaligned / off-scale descriptor takes the WARP path: the source
+    image is synthesized from the same deterministic pattern, carried
+    as 256x256 blocks, and resampled + grid-aligned by warp_plan with
+    the CLI's --resampling kernel — the engine-side analogue of the
+    reference shelling to ``gdalwarp -r`` before slicing
+    (gdal.py:176-220, main.py:284-303)."""
+    from .exceptions import UnalignedInputError
     from .grid import GridSRS, RasterMeta, whole_world_raster_meta
     from .sources.rasters import native_tiles
 
@@ -164,16 +179,50 @@ def load_tiles(spark, args):
             desc = json.load(fh)
         if desc.get("kind") != "synthetic":
             raise ValueError(f"unknown raster kind: {desc.get('kind')}")
+        epsg = desc.get("epsg", args.spatial_reference)
+        if epsg != args.spatial_reference:
+            raise SystemExit(
+                f"descriptor is pre-projected EPSG:{epsg} but "
+                f"--spatial-reference {args.spatial_reference} was "
+                "requested: the CLI does not reproject (reproject the "
+                "descriptor, or use the warp_mbtiles API)")
         if "geotransform" in desc:
             meta = RasterMeta(desc["xsize"], desc["ysize"],
                               tuple(desc["geotransform"]),
-                              srs=GridSRS(desc.get("epsg", 3857)))
+                              srs=GridSRS(epsg))
         else:
             meta = whole_world_raster_meta(
-                desc["xsize"], desc["ysize"],
-                srs=GridSRS(desc.get("epsg", 3857)))
-        return native_tiles(spark, meta), meta
+                desc["xsize"], desc["ysize"], srs=GridSRS(epsg))
+        try:
+            from .grid import XY
+            if meta.scaling_ratios() == XY(1.0, 1.0):
+                meta.tms_extents()
+                return native_tiles(spark, meta), meta, False
+        except (UnalignedInputError, AssertionError):
+            pass
+        # warp path: synthesize the unaligned source image and warp it
+        if desc["xsize"] * desc["ysize"] > 8192 * 8192:
+            raise SystemExit(
+                "synthetic warp descriptors are bounded at 8192x8192 "
+                "(driver-side synthesis); larger rasters should arrive "
+                "as Parquet blocks")
+        import numpy as np
+
+        from .helpers import warp_plan
+        from .operators.resample import blocks_from_array
+        from .sources.rasters import gradient_pixels
+        gx, gy = np.meshgrid(np.arange(desc["xsize"]),
+                             np.arange(desc["ysize"]))
+        blocks = blocks_from_array(spark, gradient_pixels(gx, gy))
+        tiles, meta = warp_plan(spark, blocks, meta,
+                                interpolate=args.resampling)
+        return tiles, meta, True
     # Parquet tiles: infer native z and extents from the data
+    if args.spatial_reference != 3857:
+        raise SystemExit(
+            "Parquet tile inputs are EPSG:3857 tile grids; "
+            f"--spatial-reference {args.spatial_reference} is not "
+            "applicable")
     tiles = spark.read.parquet(args.INPUT)
     from pyspark.sql import functions as F
     stats = tiles.agg(F.max("z"), F.min("x"), F.max("x"), F.min("y"),
@@ -188,7 +237,7 @@ def load_tiles(spark, args):
           0.0, world.lower_left.y + y1 * tile_dim.y, 0.0,
           -tile_dim.y / TILE_SIDE)
     meta = RasterMeta((x1 - x0) * TILE_SIDE, (y1 - y0) * TILE_SIDE, gt)
-    return tiles.where(F.col("z") == z), meta
+    return tiles.where(F.col("z") == z), meta, False
 
 
 def main(argv: Optional[list] = None) -> int:
@@ -197,23 +246,22 @@ def main(argv: Optional[list] = None) -> int:
     from .renderers import JpegRenderer, PngRenderer
     from .session import get_spark
 
-    # the CLI input surface is pre-projected EPSG:3857 tile grids, so
-    # the GDAL warp options the reference forwards (main.py:284-303)
-    # have nothing to act on here; reject non-defaults loudly instead
-    # of accepting them as silent no-ops
-    if args.spatial_reference != 3857:
+    if args.spatial_reference not in SUPPORTED_EPSG:
         raise SystemExit(
             f"--spatial-reference {args.spatial_reference} is not "
-            "supported: CLI inputs are EPSG:3857 tile grids (use the "
-            "warp_mbtiles API for block rasters)")
-    if args.resampling != "near":
-        raise SystemExit(
-            f"--resampling {args.resampling} has no effect on "
-            "tile-aligned CLI inputs; the warp_mbtiles API applies "
-            "the reference's ratio-based kernel selection")
+            f"supported: the CLI's grid math covers EPSG "
+            f"{SUPPORTED_EPSG} (Mercator XYZ and geodetic profiles)")
 
     spark = get_spark(cores=args.cores, app="gdal2mbtiles_spark-cli")
-    tiles, meta = load_tiles(spark, args)
+    tiles, meta, warped = load_tiles(spark, args)
+    # tile-aligned inputs never resample, so a non-default kernel
+    # would be a silent no-op — reject it loudly (the warp path above
+    # applies it for real)
+    if not warped and args.resampling != "near":
+        raise SystemExit(
+            f"--resampling {args.resampling} has no effect on "
+            "tile-aligned CLI inputs; pass an unaligned descriptor "
+            "(warp path) or use the warp_mbtiles API")
 
     # coloring: extract the band, compile the color ramp, colorize —
     # the reference threads these through warp_mbtiles

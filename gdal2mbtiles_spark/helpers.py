@@ -19,16 +19,20 @@ from .renderers import PngRenderer
 
 
 def warp_plan(spark: SparkSession, blocks: DataFrame, meta: RasterMeta,
-              resolution=None, to_world: bool = False):
+              resolution=None, to_world: bool = False,
+              interpolate: str = None):
     """The preprocess composition (reference gdal.py:86-120 +
     helpers.py:314-327 resample_after_warp): resample to the native
     grid, then align to the tile grid, then slice to native TMS
     tiles.  Input is a block image (operators.resample relation);
-    output is (native tiles DataFrame, aligned RasterMeta)."""
+    output is (native tiles DataFrame, aligned RasterMeta).
+    interpolate overrides the ratio-based kernel pick (the
+    ``gdalwarp -r`` analogue; see resample_blocks)."""
     from .operators.resample import (align_to_grid_blocks,
                                      blocks_to_tiles, resample_blocks)
     blocks, meta = resample_blocks(blocks, meta, resolution=resolution,
-                                   to_world=to_world)
+                                   to_world=to_world,
+                                   interpolate=interpolate)
     blocks, meta = align_to_grid_blocks(blocks, meta,
                                         resolution=resolution)
     return blocks_to_tiles(blocks, meta, resolution=resolution), meta
@@ -38,10 +42,11 @@ def warp_mbtiles(spark: SparkSession, blocks: DataFrame,
                  meta: RasterMeta, outputfile: str, metadata,
                  min_resolution=None, max_resolution=None,
                  fill_borders: bool = True, zoom_offset: int = 0,
-                 renderer=None) -> "MBTilesFile":
+                 renderer=None, interpolate: str = None) -> "MBTilesFile":
     """warp + image_mbtiles (reference helpers.py:158-211): accept any
     (possibly unaligned, non-native-scale) block raster."""
-    tiles, meta2 = warp_plan(spark, blocks, meta)
+    tiles, meta2 = warp_plan(spark, blocks, meta,
+                             interpolate=interpolate)
     return image_mbtiles(spark, tiles, meta2, outputfile, metadata,
                          min_resolution=min_resolution,
                          max_resolution=max_resolution,

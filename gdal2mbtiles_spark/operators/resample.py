@@ -71,6 +71,46 @@ def blocks_to_array(blocks: DataFrame, width: int,
     return out[:height, :width]
 
 
+# convolution-kernel support (pixels each side of the sample point);
+# 0 = point sample (near), 1 = 2-tap (bilinear), 2 = 4-tap cubics,
+# 3 = 6-tap lanczos — support doubles as the block-halo width
+KERNEL_SUPPORT = {"near": 0, "bilinear": 1, "cubic": 2,
+                  "cubicspline": 2, "lanczos": 3}
+
+
+def _kernel_weights(frac: np.ndarray, method: str) -> np.ndarray:
+    """Normalized separable convolution weights.
+
+    frac: fractional part of the sample coordinate, shape (N,).
+    Returns (N, 2*support) weights over taps floor(s)+j,
+    j in [-support+1, support].  Public-spec kernels: Keys cubic
+    (a=-0.5, the GDAL/ITU 'cubic'), cubic B-spline ('cubicspline'),
+    Lanczos a=3 — reference surface gdal.py:65-71 RESAMPLING_METHODS."""
+    support = KERNEL_SUPPORT[method]
+    offs = np.arange(-support + 1, support + 1, dtype=np.float64)
+    t = np.abs(offs[None, :] - frac[:, None])    # (N, 2*support)
+    if method == "cubic":                        # Keys, a = -0.5
+        w = np.where(
+            t <= 1.0, (1.5 * t - 2.5) * t * t + 1.0,
+            np.where(t < 2.0,
+                     ((-0.5 * t + 2.5) * t - 4.0) * t + 2.0, 0.0))
+    elif method == "cubicspline":                # cubic B-spline
+        w = np.where(
+            t <= 1.0, 2.0 / 3.0 - t * t + 0.5 * t ** 3,
+            np.where(t < 2.0, ((2.0 - t) ** 3) / 6.0, 0.0))
+    elif method == "lanczos":                    # a = 3
+        a = 3.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where(
+                t < 1e-12, 1.0,
+                np.where(t < a,
+                         a * np.sin(np.pi * t) * np.sin(np.pi * t / a)
+                         / (np.pi * np.pi * t * t), 0.0))
+    else:
+        raise ValueError(f"no convolution kernel for {method!r}")
+    return w / w.sum(axis=1, keepdims=True)
+
+
 def _output_size(src_w: int, src_h: int, xscale: float,
                  yscale: float) -> Tuple[int, int]:
     """vips.py:552-560: ceil when upsampling, floor when downsampling."""
@@ -97,12 +137,13 @@ def scale_blocks(blocks: DataFrame, src_w: int, src_h: int,
         out_w, out_h = out_size
     if interpolate == "near":
         dx = dy = 0.0
-    elif interpolate == "bilinear":
+    elif interpolate in KERNEL_SUPPORT:
         dx = (xscale - 1.0) / 2.0
         dy = (yscale - 1.0) / 2.0
     else:
         raise ValueError(
-            f"interpolate must be near or bilinear, not {interpolate!r}")
+            f"interpolate must be one of {sorted(KERNEL_SUPPORT)}, "
+            f"not {interpolate!r}")
 
     nbx_out, nby_out = -(-out_w // B), -(-out_h // B)
     nbx_in, nby_in = -(-src_w // B), -(-src_h // B)
@@ -113,7 +154,7 @@ def scale_blocks(blocks: DataFrame, src_w: int, src_h: int,
         hi = min(int(math.ceil(hi_px)) + halo, n_blocks * B - 1)
         return range(lo // B, hi // B + 1)
 
-    halo = 0 if interpolate == "near" else 1
+    halo = KERNEL_SUPPORT[interpolate]
     cover: List[Tuple[int, int, int, int]] = []
     for oby in range(nby_out):
         y_lo = (oby * B - dy) / yscale
@@ -150,17 +191,45 @@ def scale_blocks(blocks: DataFrame, src_w: int, src_h: int,
         sy = (oy - dy) / yscale - y0b * B
         valid_x = ox < out_w
         valid_y = oy < out_h
+        # clamp taps at the IMAGE edge, not the assembled region's:
+        # the rightmost/bottom blocks are zero-padded to 256 multiples
+        # and a kernel tap must replicate the edge pixel, not read the
+        # padding (region-local coordinates)
+        max_ix = min(region.shape[1], src_w - x0b * B) - 1
+        max_iy = min(region.shape[0], src_h - y0b * B) - 1
         if interpolate == "near":
-            ix = np.clip(sx.astype(np.int64), 0, region.shape[1] - 1)
-            iy = np.clip(sy.astype(np.int64), 0, region.shape[0] - 1)
+            ix = np.clip(sx.astype(np.int64), 0, max_ix)
+            iy = np.clip(sy.astype(np.int64), 0, max_iy)
             out = region[np.ix_(iy, ix)]
+        elif interpolate in ("cubic", "cubicspline", "lanczos"):
+            support = KERNEL_SUPPORT[interpolate]
+            offs = np.arange(-support + 1, support + 1)
+            x0 = np.floor(sx).astype(np.int64)
+            y0 = np.floor(sy).astype(np.int64)
+            wx = _kernel_weights(sx - x0, interpolate)   # (B, T)
+            wy = _kernel_weights(sy - y0, interpolate)
+            idx_x = np.clip(x0[:, None] + offs[None, :], 0,
+                            max_ix)                      # (B, T)
+            idx_y = np.clip(y0[:, None] + offs[None, :], 0,
+                            max_iy)
+            regf = region.astype(np.float64)
+            # separable: convolve along x for every region row once,
+            # then along y per output row (T + T gathers, not T^2)
+            tmp = np.zeros((region.shape[0], B, 4), dtype=np.float64)
+            for j in range(len(offs)):
+                tmp += wx[None, :, j, None] * regf[:, idx_x[:, j]]
+            val = np.zeros((B, B, 4), dtype=np.float64)
+            for j in range(len(offs)):
+                val += wy[:, j, None, None] * tmp[idx_y[:, j]]
+            # cubic/lanczos lobes overshoot: clamp BEFORE the uint8
+            # round (GDAL does the same)
+            out = np.floor(np.clip(val, 0.0, 255.0) + 0.5).astype(
+                np.uint8)
         else:
-            x0 = np.clip(np.floor(sx).astype(np.int64), 0,
-                         region.shape[1] - 1)
-            y0 = np.clip(np.floor(sy).astype(np.int64), 0,
-                         region.shape[0] - 1)
-            x1 = np.clip(x0 + 1, 0, region.shape[1] - 1)
-            y1 = np.clip(y0 + 1, 0, region.shape[0] - 1)
+            x0 = np.clip(np.floor(sx).astype(np.int64), 0, max_ix)
+            y0 = np.clip(np.floor(sy).astype(np.int64), 0, max_iy)
+            x1 = np.clip(x0 + 1, 0, max_ix)
+            y1 = np.clip(y0 + 1, 0, max_iy)
             fx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
             fy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
             tl = region[np.ix_(y0, x0)].astype(np.float64)
@@ -182,11 +251,18 @@ def scale_blocks(blocks: DataFrame, src_w: int, src_h: int,
 
 def resample_blocks(blocks: DataFrame, meta: RasterMeta,
                     resolution: int = None, places: int = 5,
-                    to_world: bool = False
+                    to_world: bool = False,
+                    interpolate: str = None
                     ) -> Tuple[DataFrame, RasterMeta]:
     """The reference's VipsDataset._resample / resample /
     resample_to_world (vips.py:544-609) on block DataFrames; returns
-    the resampled blocks and the fixed-up metadata."""
+    the resampled blocks and the fixed-up metadata.
+
+    interpolate=None keeps the reference's ratio rule (stretch/near
+    when up, shrink/bilinear when down, vips.py:569-586); an explicit
+    kernel name (near/bilinear/cubic/cubicspline/lanczos) overrides
+    it — the engine-side analogue of the reference forwarding
+    ``gdalwarp -r`` (gdal.py:195-203)."""
     if to_world:
         ratios = meta.world_scaling_ratios(resolution=resolution)
     else:
@@ -195,7 +271,8 @@ def resample_blocks(blocks: DataFrame, meta: RasterMeta,
     if ratios == XY(1.0, 1.0):
         return blocks, meta
 
-    interpolate = "near" if ratios > XY(1.0, 1.0) else "bilinear"
+    if interpolate is None:
+        interpolate = "near" if ratios > XY(1.0, 1.0) else "bilinear"
     out, out_w, out_h = scale_blocks(
         blocks, meta.xsize, meta.ysize, ratios.x, ratios.y,
         interpolate=interpolate)

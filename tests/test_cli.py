@@ -169,9 +169,66 @@ class TestCliColoring:
 
     def test_unsupported_warp_options_rejected(self, tmp_path):
         from gdal2mbtiles_spark.cli import main
+        # tile-aligned input: a resampling kernel would be a silent
+        # no-op — still rejected loudly
         with pytest.raises(SystemExit, match="resampling"):
             main([str(_world_desc(tmp_path)), "--resampling",
                   "bilinear"])
+        # outside the two grid profiles
         with pytest.raises(SystemExit, match="spatial-reference"):
             main([str(_world_desc(tmp_path)),
-                  "--spatial-reference", "4326"])
+                  "--spatial-reference", "27700"])
+        # pre-projected descriptor vs mismatched target SRS
+        desc = tmp_path / "m.json"
+        desc.write_text(json.dumps(
+            {"kind": "synthetic", "xsize": 512, "ysize": 512,
+             "epsg": 3857}))
+        with pytest.raises(SystemExit, match="pre-projected"):
+            main([str(desc), "--spatial-reference", "4326"])
+
+
+class TestCliWarpPaths:
+    """Round-2 VERDICT items 7/9: geographic-SRS CLI path and the
+    resampling kernels applied for real on unaligned inputs."""
+
+    def test_4326_world_z0_grid(self, spark, tmp_path):
+        # geodetic profile: z0 is a 2x1 tile grid (WGS84 512x256
+        # whole world is exactly native at z0) — reference
+        # gdal.py:895-898 hemisphere tiles
+        from gdal2mbtiles_spark.cli import main
+        desc = tmp_path / "geo.json"
+        desc.write_text(json.dumps(
+            {"kind": "synthetic", "xsize": 512, "ysize": 256,
+             "epsg": 4326}))
+        out = tmp_path / "geo.mbtiles"
+        assert main([str(desc), str(out),
+                     "--spatial-reference", "4326"]) == 0
+        tiles = _tiles(out)
+        assert set(tiles) == {(0, 0, 0), (0, 1, 0)}
+        md = dict(sqlite3.connect(out).execute(
+            "SELECT name, value FROM metadata"))
+        assert md["x-minzoom"] == "0" and md["x-maxzoom"] == "0"
+
+    def test_unaligned_descriptor_applies_resampling(self, spark,
+                                                     tmp_path):
+        # 300x300 whole world is off-scale (zoom cut picks z1, so the
+        # warp scales 300 -> 512): the CLI takes the warp path and -r
+        # selects the kernel for real — different kernels must
+        # produce different tile bytes
+        from gdal2mbtiles_spark.cli import main
+        desc = tmp_path / "w300.json"
+        desc.write_text(json.dumps(
+            {"kind": "synthetic", "xsize": 300, "ysize": 300}))
+        outputs = {}
+        for method in ("near", "bilinear", "lanczos"):
+            out = tmp_path / f"w300_{method}.mbtiles"
+            assert main([str(desc), str(out),
+                         "--resampling", method]) == 0
+            tiles = _tiles(out)
+            assert set(tiles) == {(1, x, y)
+                                  for x in (0, 1) for y in (0, 1)}
+            outputs[method] = b"".join(
+                tiles[k] for k in sorted(tiles))
+        assert outputs["near"] != outputs["bilinear"]
+        assert outputs["bilinear"] != outputs["lanczos"]
+        assert outputs["near"] != outputs["lanczos"]

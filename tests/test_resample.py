@@ -77,6 +77,103 @@ class TestScaleBlocks:
         assert np.array_equal(got, want)
 
 
+def _conv_oracle(img, xscale, yscale, method, out_w, out_h):
+    """Whole-image separable-convolution oracle (no blocks, no halo
+    logic — an independent check of scale_blocks' distributed
+    assembly)."""
+    from gdal2mbtiles_spark.operators.resample import (KERNEL_SUPPORT,
+                                                       _kernel_weights)
+    H, W = img.shape[:2]
+    dx = (xscale - 1.0) / 2.0
+    dy = (yscale - 1.0) / 2.0
+    sx = (np.arange(out_w) - dx) / xscale
+    sy = (np.arange(out_h) - dy) / yscale
+    sup = KERNEL_SUPPORT[method]
+    offs = np.arange(-sup + 1, sup + 1)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    wx = _kernel_weights(sx - x0, method)
+    wy = _kernel_weights(sy - y0, method)
+    acc = np.zeros((out_h, out_w, 4))
+    for jy, oy in enumerate(offs):
+        iy = np.clip(y0 + oy, 0, H - 1)
+        row = np.zeros((out_h, W, 4))
+        row += img[iy].astype(np.float64)
+        tmp = np.zeros((out_h, out_w, 4))
+        for jx, ox_ in enumerate(offs):
+            ix = np.clip(x0 + ox_, 0, W - 1)
+            tmp += wx[None, :, jx, None] * row[:, ix]
+        acc += wy[:, jy, None, None] * tmp
+    return np.floor(np.clip(acc, 0, 255) + 0.5).astype(np.uint8)
+
+
+class TestConvolutionKernels:
+    """cubic / cubicspline / lanczos (reference surface
+    gdal.py:65-71; applied via gdalwarp -r in the reference,
+    engine-side here)."""
+
+    @pytest.mark.parametrize("method", ["cubic", "cubicspline",
+                                        "lanczos"])
+    def test_identity_at_unit_scale(self, spark, method):
+        # interpolating kernels: w(0)=1, w(+-1)=w(+-2)=0 -> identity
+        # (cubicspline is a smoothing kernel, excluded by nature)
+        img = gradient_img(300, 260)
+        blocks = blocks_from_array(spark, img)
+        out, w, h = scale_blocks(blocks, 300, 260, 1.0, 1.0,
+                                 interpolate=method)
+        got = blocks_to_array(out, w, h)
+        if method == "cubicspline":
+            # B-spline smooths: constant channels must still be exact
+            assert np.array_equal(got[..., 2], img[..., 2])
+            assert np.array_equal(got[..., 3], img[..., 3])
+        else:
+            assert np.array_equal(got, img)
+
+    @pytest.mark.parametrize("method", ["cubic", "cubicspline",
+                                        "lanczos"])
+    def test_constant_image_invariant(self, spark, method):
+        # normalized weights: any scale of a constant image is
+        # constant (no ringing against the zero padding thanks to
+        # edge-clamped taps)
+        img = np.full((260, 300, 4), 137, dtype=np.uint8)
+        blocks = blocks_from_array(spark, img)
+        out, w, h = scale_blocks(blocks, 300, 260, 0.61, 0.61,
+                                 interpolate=method)
+        got = blocks_to_array(out, w, h)
+        assert (got == 137).all()
+
+    def test_cubic_reproduces_linear_ramp(self, spark):
+        # Keys a=-0.5 reproduces degree-1 polynomials exactly: a
+        # horizontal ramp stays an exact ramp in the interior
+        img = np.zeros((256, 256, 4), dtype=np.uint8)
+        img[..., 0] = np.arange(256)[None, :]
+        img[..., 3] = 255
+        blocks = blocks_from_array(spark, img)
+        out, w, h = scale_blocks(blocks, 256, 256, 0.5, 0.5,
+                                 interpolate="cubic")
+        got = blocks_to_array(out, w, h).astype(np.float64)
+        # sample x = (X + 0.25) / 0.5 = 2X + 0.5 -> value 2X + 0.5,
+        # rounded half-up to 2X + 1 (interior columns only: edge taps
+        # clamp)
+        interior = np.arange(2, w - 2)
+        want = 2 * interior + 1
+        assert np.array_equal(got[5, interior, 0], want)
+
+    @pytest.mark.parametrize("method,scale", [
+        ("cubic", 0.73), ("cubic", 1.38), ("cubicspline", 0.61),
+        ("lanczos", 0.73), ("lanczos", 1.38)])
+    def test_seams_equal_whole_image(self, spark, method, scale):
+        # the distributed block path (halo = kernel support) must be
+        # bit-identical to the whole-image convolution
+        img = gradient_img(520, 390)
+        blocks = blocks_from_array(spark, img)
+        out, w, h = scale_blocks(blocks, 520, 390, scale, scale,
+                                 interpolate=method)
+        got = blocks_to_array(out, w, h)
+        want = _conv_oracle(img, scale, scale, method, w, h)
+        assert np.array_equal(got, want)
+
+
 class TestResampleRules:
     def test_foreign_500x250_to_world(self, spark):
         # tests/test_vips.py:169-176: 500x250 world -> 512x256 resample

