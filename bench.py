@@ -40,8 +40,10 @@ from gdal2mbtiles_spark.sources.pages import synth_pages, with_geo
 from gdal2mbtiles_spark.sources.vectors import (polygons_df,
                                                 query_points_df)
 
-BURN_Z = 10          # 1024x1024 native tiles (~1.2M lit pyramid tiles)
-PAGES_N = 2_000_000  # bench-scale synthetic pages (FIXTURES.md bench N)
+BURN_Z = int(os.environ.get("SPARK_GRAFT_BURN_Z", "10"))
+#                    ^ 1024x1024 native tiles (~1.2M lit pyramid tiles)
+PAGES_N = int(os.environ.get("SPARK_GRAFT_PAGES_N", "2000000"))
+#                    ^ bench-scale synthetic pages (FIXTURES.md)
 KNN_POINTS = 200_000
 KNN_QUERIES = 200
 

