@@ -49,7 +49,7 @@ def get_spark(cores: Optional[int] = None,
     if n_execs > 0:
         per_exec = max(cores // n_execs, 1)
         exec_mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB",
-                                         "8192"))
+                                         "12288"))
         builder = (
             SparkSession.builder
             .master(f"local-cluster[{n_execs},{per_exec},{exec_mem_mb}]")

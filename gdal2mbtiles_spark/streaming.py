@@ -107,6 +107,53 @@ def streaming_exact_dedup(pages: DataFrame,
             .dropDuplicatesWithinWatermark(["text_md5"]))
 
 
+TILE_FIRST_SEEN_SCHEMA = ("tile_z int, tile_x bigint, tile_y bigint, "
+                          "first_seen_s bigint, n_pages bigint")
+_FIRST_SEEN_STATE = "first_seen_s bigint, n_pages bigint"
+
+
+def streaming_tile_first_seen(pages: DataFrame, tile_z: int = 7,
+                              watermark: str = "10 minutes"
+                              ) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-tile (first_seen event time, running page count), maintained
+    across micro-batches.
+
+    This is the operator shape Spark's built-in aggregations cannot
+    express incrementally when the merge is user-defined (here the
+    state is a (min, sum) pair but the same harness carries arbitrary
+    per-key state — e.g. per-tile reservoir samples or online
+    quantiles).  State is one 16-byte tuple per lit tile — bounded by
+    the tile grid, not the stream length.  Emits the updated row per
+    key per micro-batch (update semantics)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    geo = with_stream_geo(pages, tile_z=tile_z)
+    keyed = (geo.withWatermark("warc_ts", watermark)
+             .select("tile_z", "tile_x", "tile_y",
+                     F.unix_timestamp("warc_ts").alias("ts")))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        first_s, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            mn = int(pdf["ts"].min())
+            first_s = mn if first_s is None else min(first_s, mn)
+            n += len(pdf)
+        state.update((first_s, n))
+        yield pd.DataFrame({
+            "tile_z": [key[0]], "tile_x": [key[1]],
+            "tile_y": [key[2]],
+            "first_seen_s": [first_s], "n_pages": [n]})
+
+    return (keyed.groupBy("tile_z", "tile_x", "tile_y")
+            .applyInPandasWithState(
+                update, TILE_FIRST_SEEN_SCHEMA, _FIRST_SEEN_STATE,
+                "update", GroupStateTimeout.NoTimeout))
+
+
 def run_stream_to_memory(stream: DataFrame, name: str,
                          output_mode: str = "update"):
     """Test/demo sink: run the streaming query into an in-memory table

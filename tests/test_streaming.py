@@ -117,6 +117,36 @@ def test_dedup_state_bounded_by_watermark(spark, tmp_path_factory):
     assert max(state_rows) < N, state_rows
 
 
+def test_stateful_first_seen_matches_batch(spark, pages_dir):
+    """applyInPandasWithState operator: per-tile (first event time,
+    running count) state across micro-batches must converge to the
+    batch groupBy(min, count) once the stream drains."""
+    from gdal2mbtiles_spark.streaming import streaming_tile_first_seen
+
+    stream = _page_stream(spark, pages_dir)
+    q = run_stream_to_memory(
+        streaming_tile_first_seen(stream, tile_z=5),
+        "first_seen_stream", output_mode="update")
+    try:
+        q.processAllAvailable()
+        got_df = (spark.table("first_seen_stream")
+                  .groupBy("tile_z", "tile_x", "tile_y")
+                  .agg(F.min("first_seen_s").alias("first_seen_s"),
+                       F.max("n_pages").alias("n_pages")))  # update mode
+        got = {(r["tile_z"], r["tile_x"], r["tile_y"]):
+               (r["first_seen_s"], r["n_pages"])
+               for r in got_df.collect()}
+    finally:
+        q.stop()
+    batch = (with_geo(synth_pages(spark, N), tile_z=5)
+             .groupBy("tile_z", "tile_x", "tile_y")
+             .agg(F.min(F.unix_timestamp("warc_ts")).alias("f"),
+                  F.count("*").alias("n")))
+    want = {(r["tile_z"], r["tile_x"], r["tile_y"]): (r["f"], r["n"])
+            for r in batch.collect()}
+    assert got == want and len(want) > 10
+
+
 def test_rate_stream_plan_builds(spark):
     # the live-demo source: plan must analyze as a streaming relation
     s = stream_pages(spark, rows_per_second=10)
