@@ -92,6 +92,28 @@ def test_canon_paths_identical(spark, hist):
         assert ra == rb
 
 
+def test_canon_auto_select_falls_back_under_tiny_threshold(spark,
+                                                           hist):
+    # force the auto estimator over the broadcast limit: it must take
+    # the min_by aggregate (the at-scale plan) and match the
+    # broadcast output exactly
+    want_imgs, _ = sparse_pyramid_rendered(
+        spark, hist, Z, PngRenderer(compression=1), min_resolution=0,
+        broadcast_canon=True)
+    want = {r["tile_hex"] for r in want_imgs.collect()}
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try:
+        auto_imgs, _ = sparse_pyramid_rendered(
+            spark, hist, Z, PngRenderer(compression=1),
+            min_resolution=0)
+        got = {r["tile_hex"] for r in auto_imgs.collect()}
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
+
+
 def test_canon_auto_select_small_broadcasts(spark, hist):
     # at test scale the distinct-image count is tiny: auto (None) must
     # pick the broadcast plan and match the forced-broadcast output

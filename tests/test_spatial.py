@@ -114,6 +114,30 @@ class TestPipJoin:
         assert hot_max >= 1500
         assert salted_max <= hot_max / 2
 
+    def test_auto_select_paths(self, spark, geo_pages):
+        # VERDICT #4 done-criterion: broadcast_polys=None must pick a
+        # path from the size estimate.  Under a tiny broadcast
+        # threshold auto MUST take the shuffle path (no driver
+        # collect) and still produce identical rows.
+        polys = polygons_df(spark, 50)
+        want = {(r["url"], r["poly_id"])
+                for r in point_in_polygon_join(
+                    geo_pages, polys, broadcast_polys=True).collect()}
+        auto = {(r["url"], r["poly_id"])
+                for r in point_in_polygon_join(geo_pages, polys)
+                .collect()}
+        assert auto == want
+        conf = spark.conf
+        old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        try:
+            forced_shuffle = {(r["url"], r["poly_id"])
+                              for r in point_in_polygon_join(
+                                  geo_pages, polys).collect()}
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert forced_shuffle == want
+
     def test_matches_bruteforce(self, spark, geo_pages):
         polys = polygons_df(spark, 50)
         got = {(r["url"], r["poly_id"])
