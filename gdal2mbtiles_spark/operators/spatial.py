@@ -426,41 +426,94 @@ def knn_bruteforce(points: DataFrame, queries: DataFrame,
 # --- J7: raster -> vector extract ---------------------------------------------
 
 def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
-                       z: int) -> DataFrame:
+                       z: int,
+                       broadcast_polys: Optional[bool] = None
+                       ) -> DataFrame:
     """Pixel stats under polygons: (poly_id, lit_pixels, alpha_sum).
 
     tiles: the native relation at zoom z.  Polygons are covered at
     cell res == z so covers align 1:1 with tile keys; the masked
     reduction is partial per (tile, poly) inside the kernel, final in
-    a tiny groupBy(poly_id)."""
-    from ..cells import cells_covering_bbox
+    a tiny groupBy(poly_id).
+
+    broadcast_polys mirrors point_in_polygon_join: True collects the
+    polygon vertices driver-side and broadcasts covers (dimension
+    side); False builds the covers DISTRIBUTED (bbox -> clamped
+    slippy tile ranges via sequence+explode, the Column twin of
+    cells.lonlat_to_xyz/cells_covering_bbox) with the vertex arrays
+    riding the cover rows — no driver collect, the 10^6-polygon
+    path.  None auto-selects from the same narrow size estimate."""
+    from ..cells import MAX_MERCATOR_LAT, cells_covering_bbox
+    from .pyramid import _broadcast_threshold
 
     spark = tiles.sparkSession
     n = 1 << z
-    rows = []
-    verts: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-    for r in polys.select("poly_id", "xs", "ys").collect():
-        p = int(r["poly_id"])
-        xs, ys = np.array(r["xs"]), np.array(r["ys"])
-        verts[p] = (xs, ys)
-        for c in cells_covering_bbox(xs.min(), ys.min(), xs.max(),
-                                     ys.max(), res=z):
-            _, cx, cy = (int(c) // RES_SHIFT, (int(c) % RES_SHIFT)
-                         // X_SHIFT, int(c) % X_SHIFT)
-            rows.append((p, int(cx), int(n - 1 - cy)))  # TMS flip
-    cover = spark.createDataFrame(rows,
-                                  "poly_id int, x bigint, y bigint")
-    bverts = spark.sparkContext.broadcast(verts)
+    if broadcast_polys is None:
+        est = polys.select(
+            F.sum(F.size("cells")).alias("nc"),
+            F.sum(F.size("xs")).alias("nv")).first()
+        est_bytes = ((est["nc"] or 0) * _COVER_ROW_BYTES
+                     + (est["nv"] or 0) * 2 * _VERT_BYTES)
+        broadcast_polys = est_bytes < _broadcast_threshold(spark)
 
-    cand = tiles.join(F.broadcast(cover), ["x", "y"])
+    if not broadcast_polys:
+        def _tx(lon: Column) -> Column:
+            t = F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                        * F.lit(float(n))).cast("long")
+            return F.least(F.lit(n - 1), F.greatest(F.lit(0), t))
+
+        def _ty_xyz(lat: Column) -> Column:
+            latc = F.least(F.lit(MAX_MERCATOR_LAT),
+                           F.greatest(F.lit(-MAX_MERCATOR_LAT), lat))
+            rad = F.radians(latc)
+            t = F.floor((F.lit(1.0)
+                         - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+                         / F.lit(math.pi)) / F.lit(2.0)
+                        * F.lit(float(n))).cast("long")
+            return F.least(F.lit(n - 1), F.greatest(F.lit(0), t))
+
+        bb = polys.select(
+            "poly_id", "xs", "ys",
+            _tx(F.array_min("xs")).alias("_x0"),
+            _tx(F.array_max("xs")).alias("_x1"),
+            _ty_xyz(F.array_max("ys")).alias("_y0"),   # y-down
+            _ty_xyz(F.array_min("ys")).alias("_y1"))
+        cover = (bb.select(
+            "poly_id", "xs", "ys", "_y0", "_y1",
+            F.explode(F.sequence("_x0", "_x1")).alias("x"))
+            .select("poly_id", "xs", "ys", "x",
+                    F.explode(F.sequence("_y0", "_y1")).alias("_yx"))
+            .select("poly_id", "xs", "ys", "x",
+                    (F.lit(n - 1) - F.col("_yx")).alias("y")))  # TMS
+        cand = tiles.join(cover, ["x", "y"])
+        bverts = None
+    else:
+        rows = []
+        verts: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        for r in polys.select("poly_id", "xs", "ys").collect():
+            p = int(r["poly_id"])
+            xs, ys = np.array(r["xs"]), np.array(r["ys"])
+            verts[p] = (xs, ys)
+            for c in cells_covering_bbox(xs.min(), ys.min(), xs.max(),
+                                         ys.max(), res=z):
+                _, cx, cy = (int(c) // RES_SHIFT, (int(c) % RES_SHIFT)
+                             // X_SHIFT, int(c) % X_SHIFT)
+                rows.append((p, int(cx), int(n - 1 - cy)))  # TMS flip
+        cover = spark.createDataFrame(rows,
+                                      "poly_id int, x bigint, y bigint")
+        bverts = spark.sparkContext.broadcast(verts)
+        cand = tiles.join(F.broadcast(cover), ["x", "y"])
 
     def reduce_batch(batches: Iterator[pd.DataFrame]
                      ) -> Iterator[pd.DataFrame]:
         side = TILE_SIDE
         for pdf in batches:
             pids, lits, asums = [], [], []
-            for poly_id, x, y, buf in zip(pdf["poly_id"], pdf["x"],
-                                          pdf["y"], pdf["px"]):
+            row_verts = (None if bverts is not None
+                         else list(zip(pdf["xs"], pdf["ys"])))
+            for i, (poly_id, x, y, buf) in enumerate(
+                    zip(pdf["poly_id"], pdf["x"], pdf["y"],
+                        pdf["px"])):
                 arr = np.frombuffer(bytes(buf), np.uint8).reshape(
                     side, side, 4)
                 alpha = arr[:, :, 3]
@@ -477,7 +530,11 @@ def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
                 t = math.pi * (1.0 - 2.0 * yf)
                 lat = np.degrees(np.arctan(
                     (np.exp(t) - np.exp(-t)) / 2.0))
-                xs, ys = bverts.value[int(poly_id)]
+                if bverts is not None:
+                    xs, ys = bverts.value[int(poly_id)]
+                else:
+                    xs = np.asarray(row_verts[i][0], np.float64)
+                    ys = np.asarray(row_verts[i][1], np.float64)
                 inside = ray_cast_contains(lon, lat, xs, ys)
                 if not inside.any():
                     continue

@@ -253,6 +253,21 @@ class TestKnn:
 
 
 class TestExtract:
+    def test_shuffle_path_matches_broadcast(self, spark, geo_pages):
+        # distributed covers (sequence+explode bbox tiling, verts
+        # riding the rows, no driver collect) must equal the
+        # broadcast path exactly — the 10^6-polygon J7 path
+        z = 4
+        tiles = burn_points(geo_pages, z=z)
+        polys = polygons_df(spark, 20)
+        a = {r["poly_id"]: (r["lit_pixels"], r["alpha_sum"])
+             for r in extract_poly_stats(
+                 tiles, polys, z, broadcast_polys=True).collect()}
+        b = {r["poly_id"]: (r["lit_pixels"], r["alpha_sum"])
+             for r in extract_poly_stats(
+                 tiles, polys, z, broadcast_polys=False).collect()}
+        assert a == b and len(a) > 0
+
     def test_alpha_sum_matches_point_side(self, spark, geo_pages):
         z = 4
         tiles = burn_points(geo_pages, z=z)
