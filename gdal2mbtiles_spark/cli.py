@@ -115,7 +115,12 @@ def parse_args(args):
 
     group = parser.add_argument_group(title="Warp arguments")
     group.add_argument("--spatial-reference", type=int, default=3857)
-    group.add_argument("--resampling", default="near",
+    # default None (not "near"): an off-scale same-SRS input that the
+    # user did not pass -r for must use the reference's VIPS ratio rule
+    # (stretch/near when upsampling, shrink/bilinear when downsampling,
+    # vips.py:569-578) rather than forcing nearest — only an explicit
+    # -r pins the kernel (round-3 ADVICE)
+    group.add_argument("--resampling", default=None,
                        choices=RESAMPLING_METHODS)
 
     group = parser.add_argument_group(title="Rendering arguments")
@@ -256,8 +261,9 @@ def main(argv: Optional[list] = None) -> int:
     tiles, meta, warped = load_tiles(spark, args)
     # tile-aligned inputs never resample, so a non-default kernel
     # would be a silent no-op — reject it loudly (the warp path above
-    # applies it for real)
-    if not warped and args.resampling != "near":
+    # applies it for real); an explicit -r near is accepted as the
+    # harmless default
+    if not warped and args.resampling not in (None, "near"):
         raise SystemExit(
             f"--resampling {args.resampling} has no effect on "
             "tile-aligned CLI inputs; pass an unaligned descriptor "

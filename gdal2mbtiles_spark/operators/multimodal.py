@@ -51,6 +51,14 @@ def _is_supported_baseline_jpeg(media: bytes) -> bool:
     NotImplementedError/fake path (round-2 ADVICE)."""
     i, n = 2, len(media)
     while i + 4 <= n and media[i] == 0xFF:
+        # optional fill bytes: any number of extra 0xFF may pad the
+        # space before a marker (ITU-T T.81 B.1.1.2); treating the pad
+        # as the marker byte misreads a bogus segment length and
+        # rejects spec-valid files (round-3 ADVICE)
+        while i + 4 <= n and media[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = media[i + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:   # standalone
             i += 2

@@ -18,7 +18,7 @@ from typing import List, Tuple
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
-from ..cells import DEFAULT_RES, cells_covering_bbox
+from ..cells import DEFAULT_RES, cells_covering_polygon
 
 
 def _h(seed: str) -> str:
@@ -82,12 +82,12 @@ def parse_polygon_wkb(wkb: bytes) -> Tuple[np.ndarray, np.ndarray]:
 def polygons_df(spark: SparkSession, n: int = 50,
                 res: int = DEFAULT_RES) -> DataFrame:
     """Polygons relation (SURVEY.md §1.1): poly_id, wkb, xs, ys,
-    cells (coarse cover at ``res`` from the bbox — the J5 broadcast
-    side)."""
+    cells (coarse cover at ``res`` — the J5 broadcast side; scanline
+    cover of the polygon itself, not its bbox, so a diagonal sliver
+    candidates O(rows) cells instead of O(rows^2))."""
     rows = []
     for p, xs, ys in make_polygons(n):
-        cover = cells_covering_bbox(min(xs), min(ys), max(xs), max(ys),
-                                    res=res)
+        cover = cells_covering_polygon(xs, ys, res=res)
         rows.append((p, bytearray(polygon_wkb(xs, ys)), xs, ys,
                      [int(c) for c in cover]))
     return spark.createDataFrame(

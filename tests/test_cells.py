@@ -134,3 +134,64 @@ class TestSparkDuckdbParity:
             f"WITH p AS ({pages_sql(50)}) SELECT url, lang, warc_ts "
             f"FROM p").fetchall()}
         assert got == want
+
+
+class TestPolygonCover:
+    """Exact scanline polygon cover (round-3 VERDICT #2): candidates
+    ~ intersecting tiles, never missing one the refine needs."""
+
+    def test_subset_of_bbox_and_no_missing_interior(self):
+        from gdal2mbtiles_spark.cells import cells_covering_polygon
+        from gdal2mbtiles_spark.operators.spatial import \
+            ray_cast_contains
+        from gdal2mbtiles_spark.sources.vectors import make_polygons
+        rng = np.random.RandomState(7)
+        for res in (5, 8):
+            for p, xs, ys in make_polygons(30):
+                exact = set(int(c) for c in
+                            cells_covering_polygon(xs, ys, res=res))
+                bbox = set(int(c) for c in cells_covering_bbox(
+                    min(xs), min(ys), max(xs), max(ys), res=res))
+                assert exact <= bbox
+                # random interior points must land in covered cells
+                lo_x, hi_x = min(xs), max(xs)
+                lo_y, hi_y = min(ys), max(ys)
+                px = rng.uniform(lo_x, hi_x, 500)
+                py = rng.uniform(lo_y, hi_y, 500)
+                inside = ray_cast_contains(px, py, np.array(xs),
+                                           np.array(ys))
+                cells = cell_from_lonlat(px[inside], py[inside],
+                                         res=res)
+                missing = set(int(c) for c in cells) - exact
+                assert not missing, (p, res, missing)
+
+    def test_diagonal_sliver_linear_not_quadratic(self):
+        # a thin diagonal: bbox cover candidates O(rows^2) tiles, the
+        # scanline cover O(rows) — the round-3 done-criterion
+        from gdal2mbtiles_spark.cells import cells_covering_polygon
+        xs = [-60.0, -59.5, 60.0, 59.5]
+        ys = [-50.0, -50.0, 50.0, 50.0]
+        res = 8
+        bbox = cells_covering_bbox(min(xs), min(ys), max(xs), max(ys),
+                                   res=res)
+        exact = cells_covering_polygon(xs, ys, res=res)
+        assert len(bbox) > 7000
+        assert len(exact) < len(bbox) / 10
+
+    def test_concave_superset_is_conservative(self):
+        # U-shape: rows crossing the notch use the row span (superset)
+        # but every truly intersecting tile is present
+        from gdal2mbtiles_spark.cells import cells_covering_polygon
+        from gdal2mbtiles_spark.operators.spatial import \
+            ray_cast_contains
+        xs = [0.0, 10.0, 10.0, 8.0, 8.0, 2.0, 2.0, 0.0]
+        ys = [0.0, 0.0, 10.0, 10.0, 2.0, 2.0, 10.0, 10.0]
+        res = 7
+        exact = set(int(c) for c in
+                    cells_covering_polygon(xs, ys, res=res))
+        rng = np.random.RandomState(3)
+        px = rng.uniform(0.0, 10.0, 2000)
+        py = rng.uniform(0.0, 10.0, 2000)
+        inside = ray_cast_contains(px, py, np.array(xs), np.array(ys))
+        cells = cell_from_lonlat(px[inside], py[inside], res=res)
+        assert not set(int(c) for c in cells) - exact

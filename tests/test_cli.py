@@ -232,3 +232,34 @@ class TestCliWarpPaths:
         assert outputs["near"] != outputs["bilinear"]
         assert outputs["bilinear"] != outputs["lanczos"]
         assert outputs["near"] != outputs["lanczos"]
+
+
+class TestCliRatioRuleDefault:
+    def test_default_downscale_uses_bilinear(self, spark, tmp_path):
+        # round-3 ADVICE: with no explicit -r, an off-scale same-SRS
+        # input must follow the reference's VIPS ratio rule
+        # (vips.py:569-578) — here 514x514 world downscales to the z1
+        # 512-grid (ratio 512/514 < 1), so the default kernel is
+        # bilinear, NOT near
+        from gdal2mbtiles_spark.cli import main
+        desc = tmp_path / "w514.json"
+        desc.write_text(json.dumps(
+            {"kind": "synthetic", "xsize": 514, "ysize": 514}))
+
+        outputs = {}
+        for tag, extra in (("default", []),
+                           ("bilinear", ["--resampling", "bilinear"]),
+                           ("near", ["--resampling", "near"])):
+            out = tmp_path / f"w514_{tag}.mbtiles"
+            assert main([str(desc), str(out)] + extra) == 0
+            tiles = _tiles(out)
+            outputs[tag] = b"".join(tiles[k] for k in sorted(tiles))
+        assert outputs["default"] == outputs["bilinear"]
+        assert outputs["default"] != outputs["near"]
+
+    def test_explicit_near_still_accepted_on_aligned(self, spark,
+                                                     tmp_path):
+        from gdal2mbtiles_spark.cli import main
+        out = tmp_path / "near.mbtiles"
+        assert main([str(_world_desc(tmp_path)), str(out),
+                     "--resampling", "near"]) == 0

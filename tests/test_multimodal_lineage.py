@@ -192,3 +192,27 @@ class TestLineageResume:
         d2 = str(tmp_path / "clean")
         clean = run(d2)
         assert resumed == clean
+
+
+class TestJpegFillBytes:
+    def test_padded_marker_still_recognized_baseline(self):
+        # ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+        # the space before a marker; the SOF probe must skip them
+        # instead of misreading a bogus segment length (round-3
+        # ADVICE)
+        import numpy as np
+
+        from gdal2mbtiles_spark.jpeg import encode_jpeg_rgb
+        from gdal2mbtiles_spark.operators.multimodal import \
+            _is_supported_baseline_jpeg
+        img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+        data = encode_jpeg_rgb(img, 90)
+        assert _is_supported_baseline_jpeg(data)
+        # insert two fill bytes before the first post-SOI marker
+        padded = data[:2] + b"\xff\xff" + data[2:]
+        assert _is_supported_baseline_jpeg(padded)
+        # progressive SOF2 is still rejected, padded or not
+        sof2 = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        assert not _is_supported_baseline_jpeg(sof2)
+        assert not _is_supported_baseline_jpeg(
+            sof2[:2] + b"\xff\xff" + sof2[2:])

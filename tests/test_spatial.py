@@ -302,3 +302,66 @@ class TestExtract:
                 want[p] = (int(inside.sum()),
                            int(alpha[inside].sum()))
         assert got == want
+
+
+class TestAutoSalt:
+    """Round-3 VERDICT #4: hot cells handled without the caller
+    knowing — n_salts=None derives the salt count from a sampled
+    candidate-cell histogram."""
+
+    def _polys_one_hot(self, spark):
+        from gdal2mbtiles_spark.cells import cells_covering_bbox
+        from gdal2mbtiles_spark.sources.pages import SKEW_LAT, SKEW_LON
+        xs = [SKEW_LON - 2, SKEW_LON + 2, SKEW_LON + 2, SKEW_LON - 2]
+        ys = [SKEW_LAT - 2, SKEW_LAT - 2, SKEW_LAT + 2, SKEW_LAT + 2]
+        cover = [int(c) for c in cells_covering_bbox(
+            min(xs), min(ys), max(xs), max(ys))]
+        return spark.createDataFrame(
+            [(1, xs, ys, cover)],
+            "poly_id int, xs array<double>, ys array<double>, "
+            "cells array<long>")
+
+    def test_skewed_fixture_picks_salts_uniform_picks_one(self, spark,
+                                                          geo_pages):
+        from gdal2mbtiles_spark.operators.spatial import _auto_salts
+        from gdal2mbtiles_spark.sources.pages import (
+            synth_pages_skewed, with_geo_skewed)
+
+        polys = self._polys_one_hot(spark)
+        poly_cells = polys.select(
+            "poly_id", F.explode("cells").alias("cell"))
+
+        hot = with_geo_skewed(
+            synth_pages_skewed(spark, 4000, skew_fraction=0.5))
+        n_hot = _auto_salts(hot.select("url", "lon", "lat", "cell"),
+                            poly_cells, "cell", spark,
+                            sample_fraction=1.0)
+        assert n_hot > 1
+
+        # uniform world-spread points over many polygons: no single
+        # cell dominates, so auto must not salt
+        polys50 = polygons_df(spark, 50)
+        pc50 = polys50.select("poly_id",
+                              F.explode("cells").alias("cell"))
+        n_uni = _auto_salts(
+            geo_pages.select("url", "lon", "lat", "cell"), pc50,
+            "cell", spark, sample_fraction=1.0)
+        assert n_uni == 1
+
+    def test_auto_salted_rows_identical(self, spark):
+        # end-to-end: auto (None) vs forced n_salts=1 produce the same
+        # pairs on the skewed fixture through the shuffle path
+        from gdal2mbtiles_spark.sources.pages import (
+            synth_pages_skewed, with_geo_skewed)
+        pts = with_geo_skewed(
+            synth_pages_skewed(spark, 4000, skew_fraction=0.5))
+        polys = self._polys_one_hot(spark)
+        plain = {(r["url"], r["poly_id"])
+                 for r in point_in_polygon_join(
+                     pts, polys, broadcast_polys=False,
+                     n_salts=1).collect()}
+        auto = {(r["url"], r["poly_id"])
+                for r in point_in_polygon_join(
+                    pts, polys, broadcast_polys=False,
+                    salt_sample_fraction=1.0).collect()}
+        assert auto == plain and len(plain) >= 1500
