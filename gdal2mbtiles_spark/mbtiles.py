@@ -204,19 +204,23 @@ class MBTilesFile:
                 "(zoom_level, tile_column, tile_row, tile_id) "
                 "VALUES (?, ?, ?, ?)", (z, x, y, tile_id))
 
-    def insert_images(self, rows: Iterable[Tuple[int, bytes]]):
+    def insert_images(self, rows: Iterable[Tuple[int, bytes]],
+                      commit: bool = True):
         self._conn.executemany(
             "INSERT OR REPLACE INTO images (tile_id, tile_data) "
             "VALUES (?, ?)",
             ((tid, sqlite3.Binary(data)) for tid, data in rows))
-        self._conn.commit()
+        if commit:
+            self._conn.commit()
 
-    def insert_map(self, rows: Iterable[Tuple[int, int, int, int]]):
+    def insert_map(self, rows: Iterable[Tuple[int, int, int, int]],
+                   commit: bool = True):
         self._conn.executemany(
             "INSERT OR REPLACE INTO map "
             "(zoom_level, tile_column, tile_row, tile_id) "
             "VALUES (?, ?, ?, ?)", rows)
-        self._conn.commit()
+        if commit:
+            self._conn.commit()
 
     def get(self, x: int, y: int, z: int) -> Optional[bytes]:
         row = self._conn.execute(
@@ -241,26 +245,31 @@ def write_mbtiles(filename: str, images_df, map_df,
     images_df: DataFrame[tile_id: long, tile_data: binary] (encoded)
     map_df:    DataFrame[zoom_level, tile_column, tile_row, tile_id]
 
-    ``toLocalIterator`` keeps driver memory bounded (SURVEY.md §7 hard
-    part 6); map rows are deduped last-wins on the (z,x,y) PK by the
-    INSERT OR REPLACE, matching reference J4 out-of-order semantics.
+    ``toLocalIterator(prefetchPartitions=True)`` keeps driver memory
+    bounded to a few partitions (SURVEY.md §7 hard part 6) while Spark
+    computes the next partition concurrently with the SQLite inserts;
+    all batches run inside ONE transaction, committed once per stream
+    — per-batch commits forced an fsync every ``batch`` rows, which
+    dominated the single-writer sink at z10 (round-3 VERDICT #8).  Map
+    rows are deduped last-wins on the (z,x,y) PK by the INSERT OR
+    REPLACE, matching reference J4 out-of-order semantics.
     """
     f = MBTilesFile.create(filename, metadata, version=version)
     buf = []
-    for row in images_df.select("tile_id", "tile_data").toLocalIterator():
+    for row in (images_df.select("tile_id", "tile_data")
+                .toLocalIterator(prefetchPartitions=True)):
         buf.append((row[0], bytes(row[1])))
         if len(buf) >= batch:
-            f.insert_images(buf)
+            f.insert_images(buf, commit=False)
             buf = []
-    if buf:
-        f.insert_images(buf)
+    f.insert_images(buf)
     buf = []
     for row in (map_df.select("zoom_level", "tile_column", "tile_row",
-                              "tile_id").toLocalIterator()):
+                              "tile_id")
+                .toLocalIterator(prefetchPartitions=True)):
         buf.append(tuple(row))
         if len(buf) >= batch * 20:
-            f.insert_map(buf)
+            f.insert_map(buf, commit=False)
             buf = []
-    if buf:
-        f.insert_map(buf)
+    f.insert_map(buf)
     return f

@@ -279,8 +279,26 @@ def _tile_edge_lat(y: Column, res: int) -> Column:
         F.sinh(F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * yf))))
 
 
+# auto-res target: points per cell at the derived grid resolution.
+# ~2k keeps a ring-1 annulus scan around 10-20k candidate rows per
+# query (cheap) while typically satisfying k<=1000 in 1-2 rings.
+_KNN_TARGET_PER_CELL = 2000
+
+
+def _auto_knn_res(n_points: int) -> int:
+    """Grid resolution from a points-count estimate: 4^res cells sized
+    so a cell holds ~_KNN_TARGET_PER_CELL points under a uniform
+    spread (round-3 VERDICT #5 — a fixed res=5 means ~10^8 points per
+    cell at 10^12 rows, exploding the ring join; and at sparse counts
+    a fine grid never settles early)."""
+    ratio = max(n_points, 1) / _KNN_TARGET_PER_CELL
+    if ratio <= 1:
+        return 1
+    return int(max(1, min(16, math.ceil(math.log(ratio, 4)))))
+
+
 def knn_join(points: DataFrame, queries: DataFrame,
-             res: int = 5,
+             res: Optional[int] = None,
              point_id: str = "url",
              lon: str = "lon", lat: str = "lat",
              k_col: str = "k",
@@ -289,8 +307,11 @@ def knn_join(points: DataFrame, queries: DataFrame,
     (query_id, rank, point_id, dist_km, settled).
 
     queries: (query_id, lon, lat, k).  points must carry lon/lat; the
-    cell at ``res`` is derived here.  Iterative ring expansion with a
-    conservative settle guarantee (module docstring).
+    cell at ``res`` is derived here.  res=None (default) derives the
+    grid from one count() of the points side (_auto_knn_res) — results
+    are exact at ANY res, the choice only sizes the per-ring join.
+    Iterative ring expansion with a conservative settle guarantee
+    (module docstring).
 
     ``settled`` is True for rows proven exact (the query satisfied
     the great-circle settle guarantee, or its ring covered the whole
@@ -302,6 +323,8 @@ def knn_join(points: DataFrame, queries: DataFrame,
     from ..functions.tilemath import cell_id
 
     spark = points.sparkSession
+    if res is None:
+        res = _auto_knn_res(points.count())
     n = 1 << res
     pts = points.select(
         F.col(point_id).alias("_pid"),

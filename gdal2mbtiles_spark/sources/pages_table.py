@@ -13,20 +13,43 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 
+def write_partitioned_pages(df: DataFrame, path: str,
+                            mode: str = "overwrite") -> None:
+    """Materialize the pages table Hive-partitioned by
+    (lang, ts_bucket) — the parquet stand-in for the Iceberg
+    partition spec in SURVEY.md §1 (round-3 VERDICT #6).
+
+    ts_bucket is the calendar month of warc_ts (a Common-Crawl dump
+    granularity), derived here so callers pass the raw input_hint
+    schema.  The pre-write ``repartition(lang, ts_bucket)`` routes
+    each Hive partition's rows to one task: without it every task
+    opens a writer per (lang, month) pair and a 1000-executor job
+    emits tasks x partitions tiny files."""
+    out = df.withColumn("ts_bucket",
+                        F.date_format("warc_ts", "yyyy-MM"))
+    (out.repartition("lang", "ts_bucket")
+     .write.partitionBy("lang", "ts_bucket").mode(mode).parquet(path))
+
+
 def load_pages(spark: SparkSession, path_or_table: str,
                columns: Optional[list] = None,
-               lang: Optional[str] = None) -> DataFrame:
+               lang: Optional[str] = None,
+               ts_bucket: Optional[str] = None) -> DataFrame:
     """Load the pages source.
 
     path_or_table: an Iceberg table identifier (``catalog.db.pages``)
-    or a Parquet path.  ``columns``/``lang`` push projection and
-    partition pruning into the scan (check with
-    ``df.explain('formatted')`` — PushedFilters/ReadSchema)."""
+    or a Parquet path.  ``columns``/``lang``/``ts_bucket`` push
+    projection and PARTITION pruning into the scan — on a
+    write_partitioned_pages layout the lang/ts_bucket predicates
+    appear under ``PartitionFilters`` in ``df.explain('formatted')``
+    and whole directories are never listed, not merely skipped at the
+    row-group level (PLANS.md §1 carries the evidence dump)."""
     df = None
     if "/" not in path_or_table:
         try:
@@ -37,6 +60,8 @@ def load_pages(spark: SparkSession, path_or_table: str,
         df = spark.read.parquet(path_or_table)
     if lang is not None:
         df = df.where(df["lang"] == lang)
+    if ts_bucket is not None:
+        df = df.where(df["ts_bucket"] == ts_bucket)
     if columns:
         df = df.select(*columns)
     return df

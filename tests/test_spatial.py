@@ -365,3 +365,26 @@ class TestAutoSalt:
                     pts, polys, broadcast_polys=False,
                     salt_sample_fraction=1.0).collect()}
         assert auto == plain and len(plain) >= 1500
+
+
+class TestAutoKnnRes:
+    def test_res_scales_with_density(self):
+        from gdal2mbtiles_spark.operators.spatial import _auto_knn_res
+        assert _auto_knn_res(500) == 1          # sparse: coarse grid
+        dense = _auto_knn_res(500_000)
+        assert dense > _auto_knn_res(500)
+        # 10^12 points: ~4^res cells targeting ~2e3/cell, capped
+        assert _auto_knn_res(10**12) == 15
+        assert _auto_knn_res(10**15) == 16      # cap
+
+    def test_auto_res_exact_dense_and_sparse(self, spark, geo_pages):
+        # auto res (None) must stay exact vs brute force on both a
+        # dense and a sparse points side, picking different grids
+        queries = query_points_df(spark, 30)
+        sparse_pts = geo_pages.limit(400)
+        for pts in (geo_pages, sparse_pts):
+            got = {(r["query_id"], r["rank"], r["url"])
+                   for r in knn_join(pts, queries).collect()}
+            want = {(r["query_id"], r["rank"], r["url"])
+                    for r in knn_bruteforce(pts, queries).collect()}
+            assert got == want

@@ -154,3 +154,78 @@ def test_rate_stream_plan_builds(spark):
     assert set(s.columns) == {"url", "warc_ts", "text", "lang"}
     roll = streaming_tile_counts(s)
     assert roll.isStreaming
+
+
+def test_checkpoint_restart_no_lost_or_duplicate_rollups(
+        spark, tmp_path_factory):
+    """Round-3 VERDICT #7: stop a rollup query mid-stream, restart a
+    NEW query from the same checkpointLocation, and the file-sink
+    output must contain exactly one row per closed (window, tile) —
+    offsets and window state restored, nothing lost, nothing emitted
+    twice."""
+    base = tmp_path_factory.mktemp("ckpt_restart")
+    src = str(base / "pages")
+    out = str(base / "rollups")
+    ckpt = str(base / "checkpoint")
+    schema = ("url string, warc_ts timestamp, text string, "
+              "lang string")
+
+    full = synth_pages(spark, N).select("url", "warc_ts", "text",
+                                        "lang")
+    # split by EVENT TIME (ids are seconds offsets): leg-2 rows must
+    # not fall behind the watermark leg 1 already advanced, or they
+    # would be dropped as late data rather than exercising recovery
+    cut = F.timestamp_seconds(F.lit(1735689600 + 1000))
+    half1 = full.where(F.col("warc_ts") < cut)
+    half2 = full.where(F.col("warc_ts") >= cut)
+    half1.repartition(2).write.mode("append").parquet(src)
+
+    def start():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        rollup = streaming_tile_counts(stream, tile_z=5,
+                                       window="1 minute",
+                                       watermark="2 minutes")
+        return (rollup.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    # leg 1: consume half the input, then die (state: open windows)
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # while down: the rest of the input arrives, plus one far-future
+    # page whose event time pushes the watermark past every real
+    # window so append mode flushes them all
+    half2.repartition(2).write.mode("append").parquet(src)
+    (full.limit(1)
+     .withColumn("warc_ts", F.col("warc_ts")
+                 + F.expr("INTERVAL 300 DAYS"))
+     .withColumn("url", F.lit("https://flush.example/"))
+     .write.mode("append").parquet(src))
+
+    # leg 2: brand-new query object, same checkpoint
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {(r["window_start"], r["z"], r["x"], r["y"]): r["n_pages"]
+           for r in spark.read.parquet(out).collect()}
+    # no duplicates: dict build would mask them, so count rows too
+    assert len(got) == spark.read.parquet(out).count()
+
+    batch = (with_geo(synth_pages(spark, N), tile_z=5)
+             .groupBy(F.window("warc_ts", "1 minute").alias("win"),
+                      "tile_z", "tile_x", "tile_y")
+             .agg(F.count("*").alias("n_pages"))
+             .select(F.col("win.start").alias("ws"), "tile_z",
+                     "tile_x", "tile_y", "n_pages"))
+    want = {(r["ws"], r["tile_z"], r["tile_x"], r["tile_y"]):
+            r["n_pages"] for r in batch.collect()}
+    assert got == want and len(want) > 10
