@@ -185,6 +185,44 @@ def load_tiles(spark, args):
         if desc.get("kind") != "synthetic":
             raise ValueError(f"unknown raster kind: {desc.get('kind')}")
         epsg = desc.get("epsg", args.spatial_reference)
+        from .proj import is_utm_epsg
+        if is_utm_epsg(epsg):
+            # foreign-SRS warp path (reference: gdalwarp -t_srs
+            # EPSG:3857, gdal.py:176-220) — closed-form transverse
+            # Mercator + distributed inverse-mapping warp
+            if args.spatial_reference != 3857:
+                raise SystemExit(
+                    f"UTM sources reproject to EPSG:3857 only; "
+                    f"--spatial-reference {args.spatial_reference} "
+                    "is not a supported warp target")
+            if "geotransform" not in desc:
+                raise SystemExit(
+                    "UTM descriptors require a geotransform "
+                    "(E0, dE, 0, N0, 0, -dN) in metres")
+            if desc["xsize"] * desc["ysize"] > 8192 * 8192:
+                raise SystemExit(
+                    "synthetic warp descriptors are bounded at "
+                    "8192x8192 (driver-side synthesis); larger "
+                    "rasters should arrive as Parquet blocks")
+            if args.resampling not in (None, "near", "bilinear"):
+                raise SystemExit(
+                    f"--resampling {args.resampling} is not available "
+                    "on the reprojection path (near | bilinear)")
+            import numpy as np
+
+            from .operators.reproject import (mercator_meta_for_tiles,
+                                              reproject_utm_to_tiles)
+            from .operators.resample import blocks_from_array
+            from .sources.rasters import gradient_pixels
+            gx, gy = np.meshgrid(np.arange(desc["xsize"]),
+                                 np.arange(desc["ysize"]))
+            blocks = blocks_from_array(spark, gradient_pixels(gx, gy))
+            tiles = reproject_utm_to_tiles(
+                spark, blocks, tuple(desc["geotransform"]),
+                desc["xsize"], desc["ysize"], epsg,
+                interpolate=args.resampling or "near")
+            tiles = tiles.localCheckpoint(eager=True)
+            return tiles, mercator_meta_for_tiles(tiles), True
         if epsg != args.spatial_reference:
             raise SystemExit(
                 f"descriptor is pre-projected EPSG:{epsg} but "
