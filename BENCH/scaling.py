@@ -83,9 +83,27 @@ def main():
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # optional second ratio (round-3 VERDICT #3): N and 4N with N =
+    # base_execs; base > 1 writes raw JSON next to this script and
+    # leaves the curated BASELINE.md alone
+    base = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
-    low = run_leg(1, sf_dir, repeats)
-    high = run_leg(4, sf_dir, repeats)
+    low = run_leg(base, sf_dir, repeats)
+    high = run_leg(4 * base, sf_dir, repeats)
+    if base != 1 or os.environ.get("SPARK_GRAFT_SCALING_JSON_ONLY"):
+        eff = (high["median_tiles_per_s"]
+               / (4.0 * low["median_tiles_per_s"]))
+        out = {"base_executors": base, "repeats": repeats,
+               "eff_median": round(eff, 3), "low": low, "high": high}
+        path = os.path.join(REPO, "BENCH",
+                            f"scaling_r4_base{base}.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps({"eff_median": round(eff, 3),
+                          "low_median_s": low["median_pyramid_s"],
+                          "high_median_s": high["median_pyramid_s"],
+                          "json": path}))
+        return
     eff_med = high["median_tiles_per_s"] / (4.0
                                             * low["median_tiles_per_s"])
     eff_best = high["best_tiles_per_s"] / (4.0
