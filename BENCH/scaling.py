@@ -36,12 +36,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXEC_CORES = 4
 
 
-def run_leg(n_execs: int, sf_dir: str, repeats: int) -> dict:
+def run_leg(n_execs: int, sf_dir: str, repeats: int,
+            warmup: bool = False) -> dict:
     """``repeats`` pyramid-only samples of bench.py on a
-    local-cluster with ``n_execs`` executors x EXEC_CORES cores."""
+    local-cluster with ``n_execs`` executors x EXEC_CORES cores.
+
+    warmup=True runs ONE extra untimed sample first — applied to BOTH
+    legs identically, so it is not asymmetric best-of sampling (the
+    round-2 ADVICE trap): the first run of a leg is systematically
+    cold (JVM spawn, JIT, page cache) by a margin that dwarfs the
+    co-tenant noise band, and excluding exactly one warm-up per leg
+    removes that bias from the medians without selecting on the
+    measured values."""
     samples = []
     last = None
-    for _ in range(repeats):
+    for i in range(repeats + (1 if warmup else 0)):
         env = dict(os.environ,
                    SPARK_GRAFT_EXECUTORS=str(n_execs),
                    SPARK_GRAFT_CPUS=str(n_execs * EXEC_CORES),
@@ -65,10 +74,15 @@ def run_leg(n_execs: int, sf_dir: str, repeats: int) -> dict:
             "wall_s": round(time.time() - t0, 1),
             "loadavg_before": load_before,
         })
+    warm = None
+    if warmup:
+        # the warm-up sample is published but excluded from medians
+        warm = samples.pop(0)
     med_s = statistics.median(s["pyramid_s"] for s in samples)
     return {
         "executors": n_execs,
         "cores_per_executor": EXEC_CORES,
+        "warmup_sample_excluded": warm,
         "samples": samples,
         "median_pyramid_s": round(med_s, 2),
         "median_tiles_per_s": round(last["pyramid_tiles"] / med_s, 1),
@@ -88,8 +102,9 @@ def main():
     # leaves the curated BASELINE.md alone
     base = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
-    low = run_leg(base, sf_dir, repeats)
-    high = run_leg(4 * base, sf_dir, repeats)
+    warmup = bool(os.environ.get("SPARK_GRAFT_SCALING_WARMUP"))
+    low = run_leg(base, sf_dir, repeats, warmup=warmup)
+    high = run_leg(4 * base, sf_dir, repeats, warmup=warmup)
     if base != 1 or os.environ.get("SPARK_GRAFT_SCALING_JSON_ONLY"):
         eff = (high["median_tiles_per_s"]
                / (4.0 * low["median_tiles_per_s"]))
