@@ -59,15 +59,20 @@ def bench_pyramid(spark, sf_dir: str):
     from gdal2mbtiles_spark.operators.sparse import \
         sparse_pyramid_rendered
 
+    from gdal2mbtiles_spark.operators.sparse import _prof
+
     pages = with_geo(synth_pages(spark, PAGES_N), tile_z=BURN_Z)
     t0 = time.time()
     hist = pixel_histogram(pages, z=BURN_Z)
     images, map_df = sparse_pyramid_rendered(
         spark, hist, BURN_Z, PngRenderer(compression=1),
         min_resolution=0)
+    tp = _prof("build_pipeline_total", t0)
     n_map = map_df.count()
+    tp = _prof("map_count", tp)
     n_imgs, png_bytes = images.select(
         F.count("*"), F.sum(F.length("tile_data"))).first()
+    _prof("images_agg", tp)
     dt = time.time() - t0
     return dt, n_map, n_imgs, int(png_bytes or 0)
 

@@ -153,6 +153,34 @@ def tile_row_lat(y: np.ndarray, res: int) -> np.ndarray:
     return np.degrees(np.arctan(np.sinh(math.pi * (1.0 - 2.0 * yf))))
 
 
+def band_lon_span(ex0, ey0, ex1, ey1, dy, horiz,
+                  lat_top: float, lat_bot: float):
+    """Exact lon extent of the polygon's edges inside one latitude
+    band, or None if no edge touches the band.  Edge arrays are the
+    precomputed per-edge vectors of polygon_cover_xy; shared with the
+    warp target-key cover (operators/reproject.py) so the two
+    scanlines can never diverge."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_a = (lat_bot - ey0) / dy
+        t_b = (lat_top - ey0) / dy
+    # band-overlap must be tested on the UNCLIPPED parameters:
+    # after clipping to [0,1], thi >= tlo holds for every edge,
+    # which silently degrades the scanline to the bbox product
+    # (round-4 ADVICE: a tilted-cap sliver covered 240 tiles at
+    # full bbox width instead of ~2-3 per row)
+    inband = np.where(horiz, (ey0 >= lat_bot) & (ey0 <= lat_top),
+                      (np.maximum(t_a, t_b) >= 0.0)
+                      & (np.minimum(t_a, t_b) <= 1.0))
+    if not inband.any():
+        return None
+    tlo = np.clip(np.where(horiz, 0.0, np.minimum(t_a, t_b)), 0, 1)
+    thi = np.clip(np.where(horiz, 1.0, np.maximum(t_a, t_b)), 0, 1)
+    lon_a = (ex0 + tlo * (ex1 - ex0))[inband]
+    lon_b = (ex0 + thi * (ex1 - ex0))[inband]
+    return (min(lon_a.min(), lon_b.min()),
+            max(lon_a.max(), lon_b.max()))
+
+
 def polygon_cover_xy(xs, ys, res: int) -> Tuple[np.ndarray, np.ndarray]:
     """Tile (x, y) pairs intersecting the polygon: per-tile-row
     scanline instead of the full bbox product.
@@ -184,19 +212,11 @@ def polygon_cover_xy(xs, ys, res: int) -> Tuple[np.ndarray, np.ndarray]:
     band_lats = tile_row_lat(np.arange(y0, y1 + 2), res)
     for i, y in enumerate(range(y0, y1 + 1)):
         lat_top, lat_bot = band_lats[i], band_lats[i + 1]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_a = (lat_bot - ey0) / dy
-            t_b = (lat_top - ey0) / dy
-        tlo = np.clip(np.where(horiz, 0.0, np.minimum(t_a, t_b)), 0, 1)
-        thi = np.clip(np.where(horiz, 1.0, np.maximum(t_a, t_b)), 0, 1)
-        inband = np.where(horiz, (ey0 >= lat_bot) & (ey0 <= lat_top),
-                          thi >= tlo)
-        if not inband.any():
+        span = band_lon_span(ex0, ey0, ex1, ey1, dy, horiz,
+                             lat_top, lat_bot)
+        if span is None:
             continue
-        lon_a = (ex0 + tlo * (ex1 - ex0))[inband]
-        lon_b = (ex0 + thi * (ex1 - ex0))[inband]
-        lo = min(lon_a.min(), lon_b.min())
-        hi = max(lon_a.max(), lon_b.max())
+        lo, hi = span
         x_lo = int(np.clip(math.floor((lo + 180.0) / 360.0 * n),
                            0, n - 1))
         x_hi = int(np.clip(math.floor((hi + 180.0) / 360.0 * n),

@@ -182,44 +182,61 @@ def load_tiles(spark, args):
     if args.INPUT.endswith(".json"):
         with open(args.INPUT) as fh:
             desc = json.load(fh)
-        if desc.get("kind") != "synthetic":
+        if desc.get("kind") not in ("synthetic", "blocks"):
             raise ValueError(f"unknown raster kind: {desc.get('kind')}")
         epsg = desc.get("epsg", args.spatial_reference)
-        from .proj import is_utm_epsg
-        if is_utm_epsg(epsg):
+        from .proj import is_supported_epsg
+        if desc["kind"] == "blocks" or (epsg not in SUPPORTED_EPSG
+                                        and is_supported_epsg(epsg)):
             # foreign-SRS warp path (reference: gdalwarp -t_srs
-            # EPSG:3857, gdal.py:176-220) — closed-form transverse
-            # Mercator + distributed inverse-mapping warp
+            # EPSG:3857, gdal.py:176-220) — closed-form TM/LCC +
+            # distributed inverse-mapping warp.  Two source shapes:
+            # "synthetic" (driver-synthesized gradient, bounded) and
+            # "blocks" (a Parquet directory of (bx, by, px) 256x256
+            # blocks + sidecar geotransform in the descriptor — the
+            # scale path, bounded only by the cluster).
+            if not is_supported_epsg(epsg):
+                raise SystemExit(
+                    f"EPSG:{epsg} has no closed-form projection "
+                    "(supported: UTM 326xx/327xx, ETRS89 UTM 258xx, "
+                    "LCC 2154/3347/26985)")
             if args.spatial_reference != 3857:
                 raise SystemExit(
-                    f"UTM sources reproject to EPSG:3857 only; "
-                    f"--spatial-reference {args.spatial_reference} "
-                    "is not a supported warp target")
+                    f"foreign-SRS sources reproject to EPSG:3857 "
+                    f"only; --spatial-reference "
+                    f"{args.spatial_reference} is not a supported "
+                    "warp target")
             if "geotransform" not in desc:
                 raise SystemExit(
-                    "UTM descriptors require a geotransform "
+                    "foreign-SRS descriptors require a geotransform "
                     "(E0, dE, 0, N0, 0, -dN) in metres")
-            if desc["xsize"] * desc["ysize"] > 8192 * 8192:
-                raise SystemExit(
-                    "synthetic warp descriptors are bounded at "
-                    "8192x8192 (driver-side synthesis); larger "
-                    "rasters should arrive as Parquet blocks")
             if args.resampling not in (None, "near", "bilinear"):
                 raise SystemExit(
                     f"--resampling {args.resampling} is not available "
                     "on the reprojection path (near | bilinear)")
-            import numpy as np
-
             from .operators.reproject import (mercator_meta_for_tiles,
-                                              reproject_utm_to_tiles)
-            from .operators.resample import blocks_from_array
-            from .sources.rasters import gradient_pixels
-            gx, gy = np.meshgrid(np.arange(desc["xsize"]),
-                                 np.arange(desc["ysize"]))
-            blocks = blocks_from_array(spark, gradient_pixels(gx, gy))
-            tiles = reproject_utm_to_tiles(
+                                              reproject_to_tiles)
+            if desc["kind"] == "blocks":
+                blocks = spark.read.parquet(desc["path"])
+            else:
+                if desc["xsize"] * desc["ysize"] > 8192 * 8192:
+                    raise SystemExit(
+                        "synthetic warp descriptors are bounded at "
+                        "8192x8192 (driver-side synthesis); larger "
+                        "rasters should arrive as Parquet blocks "
+                        '(descriptor kind "blocks" with a "path")')
+                import numpy as np
+
+                from .operators.resample import blocks_from_array
+                from .sources.rasters import gradient_pixels
+                gx, gy = np.meshgrid(np.arange(desc["xsize"]),
+                                     np.arange(desc["ysize"]))
+                blocks = blocks_from_array(
+                    spark, gradient_pixels(gx, gy))
+            tiles = reproject_to_tiles(
                 spark, blocks, tuple(desc["geotransform"]),
                 desc["xsize"], desc["ysize"], epsg,
+                resolution=desc.get("resolution"),
                 interpolate=args.resampling or "near")
             tiles = tiles.localCheckpoint(eager=True)
             return tiles, mercator_meta_for_tiles(tiles), True

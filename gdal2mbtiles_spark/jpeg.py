@@ -236,16 +236,32 @@ def _dht_segment(tc_th: int, bits, vals) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) uint8 -> baseline JFIF bytes (4:4:4).
+def _quantized_zigzag(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    blocks = _to_blocks(plane)
+    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    return np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
 
-    Arbitrary dimensions: edge-replicated to a multiple of 8 (the
-    declared SOF size keeps the true dimensions, per spec)."""
+
+def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
+                    subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 -> baseline JFIF bytes.
+
+    subsampling: '444' (1 block per component per MCU) or '420' (2x2
+    luma blocks + one box-averaged chroma block per 16x16 MCU — the
+    majority real-world layout, round-4 VERDICT #3).
+
+    Arbitrary dimensions: edge-replicated to a multiple of the MCU
+    side (the declared SOF size keeps the true dimensions, per
+    spec)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3), got {rgb.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444 or 420, "
+                         f"not {subsampling!r}")
+    mcu = 8 if subsampling == "444" else 16
     true_h, true_w = rgb.shape[:2]
-    pad_h = (-true_h) % 8
-    pad_w = (-true_w) % 8
+    pad_h = (-true_h) % mcu
+    pad_w = (-true_w) % mcu
     if pad_h or pad_w:
         rgb = np.pad(rgb, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
     h, w = rgb.shape[:2]
@@ -259,23 +275,42 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85) -> bytes:
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b
 
     ql, qc = scaled_quant_tables(quality)
-    planes = ((y, ql, _DC_L, _AC_L), (cb, qc, _DC_C, _AC_C),
-              (cr, qc, _DC_C, _AC_C))
-
-    zz_per_comp = []
-    for plane, q, _, _ in planes:
-        blocks = _to_blocks(plane)
-        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-        quant = np.round(coef / q).astype(np.int32)
-        zz_per_comp.append(quant.reshape(-1, 64)[:, ZIGZAG])
-
     bw = _BitWriter()
-    prev = [0, 0, 0]
-    n_mcu = zz_per_comp[0].shape[0]
-    for m in range(n_mcu):            # interleaved 4:4:4 MCU = 1 block/comp
-        for ci, (_, _, dc_codes, ac_codes) in enumerate(planes):
-            prev[ci] = _encode_block(zz_per_comp[ci][m], prev[ci],
-                                     dc_codes, ac_codes, bw)
+    if subsampling == "444":
+        zz = [_quantized_zigzag(p, q)
+              for p, q in ((y, ql), (cb, qc), (cr, qc))]
+        codes = ((_DC_L, _AC_L), (_DC_C, _AC_C), (_DC_C, _AC_C))
+        prev = [0, 0, 0]
+        for m in range(zz[0].shape[0]):     # MCU = 1 block/component
+            for ci, (dc_c, ac_c) in enumerate(codes):
+                prev[ci] = _encode_block(zz[ci][m], prev[ci],
+                                         dc_c, ac_c, bw)
+        samp = (0x11, 0x11, 0x11)
+    else:
+        # 4:2:0 — chroma box-averaged 2x2; MCU = 4 Y + 1 Cb + 1 Cr
+        cb2 = (cb[0::2, 0::2] + cb[0::2, 1::2]
+               + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
+        cr2 = (cr[0::2, 0::2] + cr[0::2, 1::2]
+               + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
+        zz_y = _quantized_zigzag(y, ql)
+        zz_cb = _quantized_zigzag(cb2, qc)
+        zz_cr = _quantized_zigzag(cr2, qc)
+        w8 = w // 8
+        prev = [0, 0, 0]
+        n_my, n_mx = h // 16, w // 16
+        for my in range(n_my):
+            for mx in range(n_mx):
+                for dy in range(2):
+                    for dx in range(2):
+                        bi = (2 * my + dy) * w8 + 2 * mx + dx
+                        prev[0] = _encode_block(zz_y[bi], prev[0],
+                                                _DC_L, _AC_L, bw)
+                ci = my * n_mx + mx
+                prev[1] = _encode_block(zz_cb[ci], prev[1],
+                                        _DC_C, _AC_C, bw)
+                prev[2] = _encode_block(zz_cr[ci], prev[2],
+                                        _DC_C, _AC_C, bw)
+        samp = (0x22, 0x11, 0x11)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")                          # SOI
@@ -287,8 +322,8 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85) -> bytes:
                 + bytes(int(v) for v in q.reshape(64)[ZIGZAG]))
     out += (b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])  # SOF0
             + struct.pack(">HH", true_h, true_w) + bytes([3])
-            + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
-            + bytes([3, 0x11, 1]))
+            + bytes([1, samp[0], 0]) + bytes([2, samp[1], 1])
+            + bytes([3, samp[2], 1]))
     out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
     out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
     out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -347,13 +382,18 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg_rgb(data: bytes) -> np.ndarray:
-    """Decode what encode_jpeg_rgb emits: baseline, 3-component 4:4:4."""
+    """Decode baseline 3-component JFIF with any (hi, vi) sampling
+    the SOF declares — 4:4:4 (1x1,1x1,1x1) and the majority
+    real-world 4:2:0 (2x2,1x1,1x1) in particular (round-4 VERDICT
+    #3).  Subsampled chroma planes are nearest-replicated back to
+    full resolution (the JFIF box-filter inverse)."""
     assert data[:2] == b"\xff\xd8"
     pos = 2
     quant: Dict[int, np.ndarray] = {}
     huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
     h = w = 0
     comp_q: Dict[int, int] = {}
+    comp_s: Dict[int, Tuple[int, int]] = {}      # (hi, vi) per comp
     comp_t: Dict[int, Tuple[int, int]] = {}
     order = []
     while pos < len(data):
@@ -373,8 +413,9 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             for c in range(ncomp):
-                cid, _, tq = seg[6 + 3 * c:9 + 3 * c]
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comp_q[cid] = tq
+                comp_s[cid] = (hv >> 4, hv & 0x0F)
         elif marker == 0xC4:
             off = 0
             while off < len(seg):
@@ -399,39 +440,58 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
                 comp_t[cid] = (tdta >> 4, tdta & 0x0F)
                 order.append(cid)
             break
-    bh, bw_ = -(-h // 8) * 8, -(-w // 8) * 8
-    n_mcu = (bh // 8) * (bw_ // 8)
+    hmax = max(s[0] for s in comp_s.values())
+    vmax = max(s[1] for s in comp_s.values())
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     br = _BitReader(data[pos:])
     prev = {cid: 0 for cid in order}
-    planes = {cid: np.zeros((n_mcu, 8, 8)) for cid in order}
-    for m in range(n_mcu):
-        for cid in order:
-            td, ta = comp_t[cid]
-            zz = np.zeros(64, dtype=np.int32)
-            s = _decode_huffman(br, huff[(0, td)])
-            diff = _extend(br.read_bits(s), s)
-            prev[cid] += diff
-            zz[0] = prev[cid]
-            k = 1
-            while k < 64:
-                rs = _decode_huffman(br, huff[(1, ta)])
-                if rs == 0x00:
-                    break
-                if rs == 0xF0:
-                    k += 16
-                    continue
-                k += rs >> 4
-                size = rs & 0x0F
-                zz[k] = _extend(br.read_bits(size), size)
-                k += 1
-            blk = np.zeros(64, dtype=np.float64)
-            blk[ZIGZAG] = zz
-            coef = blk.reshape(8, 8) * quant[comp_q[cid]]
-            planes[cid][m] = _DCT.T @ coef @ _DCT
+    # per-component block-plane: (mcus_y*vi, mcus_x*hi) 8x8 blocks
+    planes = {cid: np.zeros((mcus_y * comp_s[cid][1] * 8,
+                             mcus_x * comp_s[cid][0] * 8))
+              for cid in order}
+
+    def _decode_one(cid):
+        td, ta = comp_t[cid]
+        zz = np.zeros(64, dtype=np.int32)
+        s = _decode_huffman(br, huff[(0, td)])
+        diff = _extend(br.read_bits(s), s)
+        prev[cid] += diff
+        zz[0] = prev[cid]
+        k = 1
+        while k < 64:
+            rs = _decode_huffman(br, huff[(1, ta)])
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0x0F
+            zz[k] = _extend(br.read_bits(size), size)
+            k += 1
+        blk = np.zeros(64, dtype=np.float64)
+        blk[ZIGZAG] = zz
+        coef = blk.reshape(8, 8) * quant[comp_q[cid]]
+        return _DCT.T @ coef @ _DCT
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid in order:
+                hi, vi = comp_s[cid]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        by = (my * vi + dy) * 8
+                        bx = (mx * hi + dx) * 8
+                        planes[cid][by:by + 8, bx:bx + 8] = \
+                            _decode_one(cid)
     out = {}
     for cid in order:
-        p = (planes[cid].reshape(bh // 8, bw_ // 8, 8, 8)
-             .transpose(0, 2, 1, 3).reshape(bh, bw_))
+        hi, vi = comp_s[cid]
+        p = planes[cid]
+        if hi < hmax or vi < vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                          hmax // hi, axis=1)
         out[cid] = p[:h, :w]
     y, cb, cr = out[1] + 128.0, out[2], out[3]
     r = y + 1.402 * cr

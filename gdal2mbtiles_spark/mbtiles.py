@@ -239,7 +239,8 @@ class MBTilesFile:
 def write_mbtiles(filename: str, images_df, map_df,
                   metadata: Dict[str, str],
                   version: Optional[str] = None,
-                  batch: int = 500) -> MBTilesFile:
+                  batch: int = 500,
+                  commit_rows: int = 100_000) -> MBTilesFile:
     """Stream the distributed (images, map) pair into one SQLite file.
 
     images_df: DataFrame[tile_id: long, tile_data: binary] (encoded)
@@ -247,29 +248,38 @@ def write_mbtiles(filename: str, images_df, map_df,
 
     ``toLocalIterator(prefetchPartitions=True)`` keeps driver memory
     bounded to a few partitions (SURVEY.md §7 hard part 6) while Spark
-    computes the next partition concurrently with the SQLite inserts;
-    all batches run inside ONE transaction, committed once per stream
-    — per-batch commits forced an fsync every ``batch`` rows, which
-    dominated the single-writer sink at z10 (round-3 VERDICT #8).  Map
-    rows are deduped last-wins on the (z,x,y) PK by the INSERT OR
-    REPLACE, matching reference J4 out-of-order semantics.
+    computes the next partition concurrently with the SQLite inserts.
+    Transactions are committed every ``commit_rows`` rows, not per
+    ``batch`` and not once per stream: per-batch commits forced an
+    fsync every 500 rows (round-3 VERDICT #8), while one giant
+    transaction grows the rollback journal to ~the database size and
+    a crash rolls back every row (round-4 ADVICE) — ~100k-row
+    checkpoints keep fsyncs rare AND bound journal growth/crash
+    rework.  Map rows are deduped last-wins on the (z,x,y) PK by the
+    INSERT OR REPLACE, matching reference J4 out-of-order semantics.
     """
     f = MBTilesFile.create(filename, metadata, version=version)
-    buf = []
+    buf, since_commit = [], 0
     for row in (images_df.select("tile_id", "tile_data")
                 .toLocalIterator(prefetchPartitions=True)):
         buf.append((row[0], bytes(row[1])))
         if len(buf) >= batch:
-            f.insert_images(buf, commit=False)
+            since_commit += len(buf)
+            f.insert_images(buf, commit=since_commit >= commit_rows)
+            if since_commit >= commit_rows:
+                since_commit = 0
             buf = []
     f.insert_images(buf)
-    buf = []
+    buf, since_commit = [], 0
     for row in (map_df.select("zoom_level", "tile_column", "tile_row",
                               "tile_id")
                 .toLocalIterator(prefetchPartitions=True)):
         buf.append(tuple(row))
         if len(buf) >= batch * 20:
-            f.insert_map(buf, commit=False)
+            since_commit += len(buf)
+            f.insert_map(buf, commit=since_commit >= commit_rows)
+            if since_commit >= commit_rows:
+                since_commit = 0
             buf = []
     f.insert_map(buf)
     return f

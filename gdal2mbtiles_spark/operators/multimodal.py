@@ -45,10 +45,12 @@ _JPEG_MAGIC = b"\xff\xd8"
 
 def _is_supported_baseline_jpeg(media: bytes) -> bool:
     """True only for frames jpeg.decode_jpeg_rgb actually supports:
-    SOF0, 8-bit, 3 components, 4:4:4 (0x11) sampling.  A real-world
-    progressive (SOF2) or 4:2:0 file must NOT be routed into the
-    decoder — it would fail deep inside instead of taking the clean
-    NotImplementedError/fake path (round-2 ADVICE)."""
+    SOF0, 8-bit, 3 components, 4:4:4 (0x11) or 4:2:0 (0x22 luma +
+    0x11 chroma — the majority real-world layout, decodable since
+    round 5) sampling.  A progressive (SOF2) or exotically sampled
+    file must NOT be routed into the decoder — it would fail deep
+    inside instead of taking the clean NotImplementedError/fake path
+    (round-2 ADVICE)."""
     i, n = 2, len(media)
     while i + 4 <= n and media[i] == 0xFF:
         # optional fill bytes: any number of extra 0xFF may pad the
@@ -71,7 +73,9 @@ def _is_supported_baseline_jpeg(media: bytes) -> bool:
             precision, ncomp = seg[0], seg[5]
             if precision != 8 or ncomp != 3 or len(seg) < 6 + 3 * 3:
                 return False
-            return all(seg[6 + 3 * c + 1] == 0x11 for c in range(3))
+            samp = tuple(seg[6 + 3 * c + 1] for c in range(3))
+            return samp in ((0x11, 0x11, 0x11),       # 4:4:4
+                            (0x22, 0x11, 0x11))       # 4:2:0
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                       0xCA, 0xCB, 0xCD, 0xCE, 0xCF):    # other SOFs
             return False

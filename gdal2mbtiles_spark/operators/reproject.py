@@ -1,30 +1,39 @@
-"""Distributed raster reprojection: UTM -> Web-Mercator native tiles.
+"""Distributed raster reprojection: foreign SRS -> Web-Mercator
+native tiles.
 
 The reference handles foreign-SRS inputs by shelling to ``gdalwarp
 -t_srs EPSG:3857`` before slicing (gdal.py:176-220, main.py:284-303).
-This operator is the Spark-native analogue for WGS84 UTM sources
-(proj.py's closed-form transverse Mercator): an INVERSE-MAPPING warp
-— for every target tile pixel, project its lon/lat into the source
-grid and sample — expressed as two Arrow-batched kernels around one
-equi-join, the halo-exchange shape that scales to rasters far larger
-than any single executor:
+This operator is the Spark-native analogue for any projection with
+proj.py closed forms (WGS84/ETRS89 UTM transverse Mercator, Lambert
+conformal conic): an INVERSE-MAPPING warp — for every target tile
+pixel, project its lon/lat into the source grid and sample —
+expressed as two Arrow-batched kernels around one equi-join, the
+halo-exchange shape that scales to rasters far larger than any
+single executor:
 
-1. **cover** (mapInPandas over the target tile KEYS, no pixels): each
-   target tile projects a boundary sample of itself into source pixel
-   space and emits one id-only row per overlapped 256x256 source
-   block, plus its source-window bbox.  The map is smooth, so a
-   16-point boundary sample + a safety margin bounds the true window.
-2. equi-join with the source block relation on (bx, by) — the only
+1. **target keys** (mapInPandas over target tile ROWS): the source
+   boundary back-projects to a lon/lat ring; each task scanlines its
+   rows' latitude bands against the ring (cells.band_lon_span — the
+   same exact cover the PIP join uses) and emits only intersecting
+   tile keys +-1 tile of chord margin.  An oblique footprint (any
+   LCC, any off-axis TM) therefore costs O(tiles touched), not the
+   bbox O(rows x cols) (round-4 VERDICT #5).
+2. **cover** (mapInPandas over the keys, no pixels): each target tile
+   projects a boundary sample of itself into source pixel space and
+   emits one id-only row per overlapped 256x256 source block, plus
+   its source-window bbox.  The map is smooth, so a 16-point boundary
+   sample + a curvature-scaled margin bounds the true window.
+3. equi-join with the source block relation on (bx, by) — the only
    exchange that moves pixel payloads, each block replicated only to
    the target tiles that actually read it (the replication factor is
    ~(scale+1)^2, independent of raster size).
-3. **sample** (applyInPandas per target tile): assemble the joined
+4. **sample** (applyInPandas per target tile): assemble the joined
    blocks into the tile's source window and run the vectorized
    near/bilinear inverse-mapping resample; pixels falling outside the
    source raster become transparent.
 
 No driver-side pixel collection anywhere; the driver only computes
-the target tile RANGE from the projected source boundary (O(edge
+the target tile ROW RANGE from the projected source boundary (O(edge
 samples) numpy).
 """
 
@@ -38,9 +47,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cells import MAX_MERCATOR_LAT
+from ..cells import MAX_MERCATOR_LAT, band_lon_span, tile_row_lat
 from ..grid import TILE_SIDE
-from ..proj import tm_forward, tm_inverse, utm_params
+from ..proj import projection_for_epsg
 
 B = 256
 EARTH_R = 6378137.0
@@ -54,6 +63,19 @@ def _boundary_px(xsize: int, ysize: int, pts: int = 64
     ys = np.linspace(0.0, float(ysize), pts)
     bx = np.concatenate([xs, xs, np.zeros(pts), np.full(pts, xsize)])
     by = np.concatenate([np.zeros(pts), np.full(pts, ysize), ys, ys])
+    return bx, by
+
+
+def _boundary_ring_px(xsize: int, ysize: int, pts: int = 64
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Boundary samples in RING order (top L->R, right T->B, bottom
+    R->L, left B->T) — a simple polygon for the scanline cover."""
+    xs = np.linspace(0.0, float(xsize), pts)
+    ys = np.linspace(0.0, float(ysize), pts)
+    bx = np.concatenate([xs[:-1], np.full(pts - 1, xsize),
+                         xs[::-1][:-1], np.zeros(pts - 1)])
+    by = np.concatenate([np.zeros(pts - 1), ys[:-1],
+                         np.full(pts - 1, ysize), ys[::-1][:-1]])
     return bx, by
 
 
@@ -84,35 +106,16 @@ def pick_target_zoom(ground_res_m: float, lat_center: float) -> int:
     return best
 
 
-def reproject_utm_to_tiles(spark: SparkSession, blocks: DataFrame,
-                           geotransform: Tuple[float, ...],
-                           xsize: int, ysize: int, epsg: int,
-                           resolution: int = None,
-                           interpolate: str = "near") -> DataFrame:
-    """UTM source blocks -> native EPSG:3857 TMS tiles (z, x, y, px).
-
-    geotransform: GDAL-style (E0, dE, 0, N0, 0, -dN) in UTM metres.
-    interpolate: 'near' (gdalwarp's default) or 'bilinear'."""
-    lon0, fn = utm_params(epsg)
-    e0, de = float(geotransform[0]), float(geotransform[1])
-    n0, dn = float(geotransform[3]), -float(geotransform[5])
-    if interpolate not in ("near", "bilinear"):
-        raise ValueError("reprojection kernels: near | bilinear, not "
-                         f"{interpolate!r}")
-
-    # driver: lon/lat bbox of the source boundary -> target tile range
-    bpx, bpy = _boundary_px(xsize, ysize)
-    lon_b, lat_b = tm_inverse(e0 + bpx * de, n0 - bpy * dn, lon0,
-                              fn=fn)
-    lat_b = np.clip(lat_b, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
-    z = (resolution if resolution is not None
-         else pick_target_zoom(de, float(lat_b.mean())))
+def target_tile_keys(spark: SparkSession, ring_lon: np.ndarray,
+                     ring_lat: np.ndarray, z: int) -> DataFrame:
+    """Target XYZ tile keys (tx, ty y-down) intersecting a lon/lat
+    boundary ring, +-1 tile of chord margin — the exact scanline
+    cover (cells.band_lon_span) distributed over tile ROWS, replacing
+    the bbox ``spark.range`` product: an oblique footprint (any LCC,
+    off-axis TM) costs O(tiles touched), not O(rows x cols)
+    (round-4 VERDICT #5).  Empty extra tiles cost one skipped cover
+    row each, never pixels."""
     n = 1 << z
-    pad = 1e-9
-    tx0 = int(np.clip(math.floor((lon_b.min() + 180.0) / 360.0 * n
-                                 - pad), 0, n - 1))
-    tx1 = int(np.clip(math.floor((lon_b.max() + 180.0) / 360.0 * n
-                                 + pad), 0, n - 1))
 
     def _ty(lat: float) -> int:
         rad = math.radians(lat)
@@ -120,13 +123,93 @@ def reproject_utm_to_tiles(spark: SparkSession, blocks: DataFrame,
              / math.pi) / 2.0 * n
         return int(np.clip(math.floor(t), 0, n - 1))
 
-    ty0, ty1 = _ty(float(lat_b.max())), _ty(float(lat_b.min()))
+    ty0 = max(_ty(float(ring_lat.max())) - 1, 0)
+    ty1 = min(_ty(float(ring_lat.min())) + 1, n - 1)
 
-    w = tx1 - tx0 + 1
-    keys = spark.range(w * (ty1 - ty0 + 1)).select(
-        (F.lit(tx0) + F.col("id") % w).cast("long").alias("tx"),
-        (F.lit(ty0) + (F.col("id") / w).cast("long")).cast("long")
-        .alias("ty"))
+    # precomputed edge vectors for cells.band_lon_span (the shared
+    # exact scanline): closure-captured into the row-expansion kernel
+    ex0, ey0 = ring_lon, ring_lat
+    ex1, ey1 = np.roll(ring_lon, -1), np.roll(ring_lat, -1)
+    edy = ey1 - ey0
+    ehoriz = edy == 0.0
+
+    def expand_rows(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_tx, out_ty = [], []
+            tys = pdf["ty"].to_numpy(np.int64)
+            lat_tops = tile_row_lat(tys, z)
+            lat_bots = tile_row_lat(tys + 1, z)
+            for ty, lat_top, lat_bot in zip(tys, lat_tops, lat_bots):
+                span = band_lon_span(ex0, ey0, ex1, ey1, edy, ehoriz,
+                                     lat_top, lat_bot)
+                if span is None:
+                    continue
+                lo, hi = span
+                # +-1 col: the ring is a chord sampling of the true
+                # curved footprint; empty tiles cost nothing later
+                x_lo = int(np.clip(
+                    math.floor((lo + 180.0) / 360.0 * n) - 1,
+                    0, n - 1))
+                x_hi = int(np.clip(
+                    math.floor((hi + 180.0) / 360.0 * n) + 1,
+                    0, n - 1))
+                for tx in range(x_lo, x_hi + 1):
+                    out_tx.append(tx)
+                    out_ty.append(int(ty))
+            if out_tx:
+                yield pd.DataFrame(
+                    {"tx": pd.Series(out_tx, dtype="int64"),
+                     "ty": pd.Series(out_ty, dtype="int64")})
+
+    n_rows = ty1 - ty0 + 1
+    parallelism = int(spark.sparkContext.defaultParallelism)
+    return (spark.range(ty0, ty1 + 1,
+                        numPartitions=min(parallelism, n_rows))
+            .select(F.col("id").alias("ty"))
+            .mapInPandas(expand_rows, schema="tx long, ty long"))
+
+
+def reproject_utm_to_tiles(spark: SparkSession, blocks: DataFrame,
+                           geotransform: Tuple[float, ...],
+                           xsize: int, ysize: int, epsg: int,
+                           resolution: int = None,
+                           interpolate: str = "near") -> DataFrame:
+    """Back-compat name from round 4 (UTM-only then); now a thin
+    alias of reproject_to_tiles, which accepts every proj.py CRS."""
+    return reproject_to_tiles(spark, blocks, geotransform, xsize,
+                              ysize, epsg, resolution=resolution,
+                              interpolate=interpolate)
+
+
+def reproject_to_tiles(spark: SparkSession, blocks: DataFrame,
+                       geotransform: Tuple[float, ...],
+                       xsize: int, ysize: int, epsg: int,
+                       resolution: int = None,
+                       interpolate: str = "near") -> DataFrame:
+    """Foreign-SRS source blocks -> native EPSG:3857 TMS tiles
+    (z, x, y, px).
+
+    geotransform: GDAL-style (E0, dE, 0, N0, 0, -dN) in CRS metres.
+    epsg: any projection_for_epsg-supported code (UTM, ETRS89 UTM,
+    LCC 2154/3347/26985).
+    interpolate: 'near' (gdalwarp's default) or 'bilinear'."""
+    proj = projection_for_epsg(epsg)
+    e0, de = float(geotransform[0]), float(geotransform[1])
+    n0, dn = float(geotransform[3]), -float(geotransform[5])
+    if interpolate not in ("near", "bilinear"):
+        raise ValueError("reprojection kernels: near | bilinear, not "
+                         f"{interpolate!r}")
+
+    # driver: back-project the source boundary RING to lon/lat —
+    # O(edge samples) numpy, no pixels
+    bpx, bpy = _boundary_ring_px(xsize, ysize)
+    ring_lon, ring_lat = proj.inverse(e0 + bpx * de, n0 - bpy * dn)
+    ring_lat = np.clip(ring_lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+    z = (resolution if resolution is not None
+         else pick_target_zoom(de, float(ring_lat.mean())))
+    keys = target_tile_keys(spark, ring_lon, ring_lat, z)
+    n = 1 << z
 
     def cover(batches: Iterator[pd.DataFrame]
               ) -> Iterator[pd.DataFrame]:
@@ -136,13 +219,32 @@ def reproject_utm_to_tiles(spark: SparkSession, blocks: DataFrame,
                 lon, lat = _tile_lonlat_grid(int(tx), int(ty), z, 16)
                 lat = np.clip(lat, -MAX_MERCATOR_LAT,
                               MAX_MERCATOR_LAT)
-                e, nn = tm_forward(lon, lat, lon0, fn=fn)
+                e, nn = proj.forward(lon, lat)
                 fx = (e - e0) / de
                 fy = (n0 - nn) / dn
-                sx0 = int(np.floor(fx.min())) - _MARGIN
-                sx1 = int(np.ceil(fx.max())) + _MARGIN
-                sy0 = int(np.floor(fy.min())) - _MARGIN
-                sy1 = int(np.ceil(fy.max())) + _MARGIN
+                # the bbox of a 16x16 SAMPLE of a smooth map misses
+                # the true extremum between samples by up to
+                # ~(chord)^2 / (8 * curvature radius); the map's
+                # curvature scale is the earth radius, so in source
+                # pixels err <= (d_px * de)^2 / (8 R) / de.  A fixed
+                # margin holds only for CLI-sized rasters — a public
+                # call with a coarse `resolution` puts a huge raster
+                # under one tile and the fixed 4 px underestimates by
+                # orders of magnitude (round-4 ADVICE), silently
+                # sampling window-edge pixels after the clip below.
+                fx2 = fx.reshape(16, 16)
+                fy2 = fy.reshape(16, 16)
+                d_px = max(
+                    float(np.abs(np.diff(fx2, axis=0)).max()),
+                    float(np.abs(np.diff(fx2, axis=1)).max()),
+                    float(np.abs(np.diff(fy2, axis=0)).max()),
+                    float(np.abs(np.diff(fy2, axis=1)).max()), 0.0)
+                margin = _MARGIN + int(math.ceil(
+                    d_px * d_px * de / (8.0 * EARTH_R)))
+                sx0 = int(np.floor(fx.min())) - margin
+                sx1 = int(np.ceil(fx.max())) + margin
+                sy0 = int(np.floor(fy.min())) - margin
+                sy1 = int(np.ceil(fy.max())) + margin
                 sx0, sx1 = max(sx0, 0), min(sx1, xsize)
                 sy0, sy1 = max(sy0, 0), min(sy1, ysize)
                 if sx0 >= sx1 or sy0 >= sy1:
@@ -187,9 +289,8 @@ def reproject_utm_to_tiles(spark: SparkSession, blocks: DataFrame,
         lon = gx / nn_ * 360.0 - 180.0
         lat = np.degrees(np.arctan(np.sinh(
             math.pi * (1.0 - 2.0 * gy / nn_))))
-        e, nnn = tm_forward(lon.ravel(), np.clip(
-            lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT).ravel(),
-            lon0, fn=fn)
+        e, nnn = proj.forward(lon.ravel(), np.clip(
+            lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT).ravel())
         # float source-pixel-index space (u=0 at pixel-0 center)
         u = ((e - e0) / de - 0.5).reshape(side, side)
         v = ((n0 - nnn) / dn - 0.5).reshape(side, side)
@@ -199,6 +300,21 @@ def reproject_utm_to_tiles(spark: SparkSession, blocks: DataFrame,
         ru = u - sx0
         rv = v - sy0
         h_r, w_r = region.shape[:2]
+        # loud failure beats silent edge-pixel sampling: every pixel
+        # inside the source raster must also fall inside the window
+        # the cover kernel sized (the clips below are only for raster
+        # -edge clamping, never window-edge)
+        bad = inside & ((ru < -0.5 - 1e-6) | (ru > w_r - 0.5 + 1e-6)
+                        | (rv < -0.5 - 1e-6)
+                        | (rv > h_r - 0.5 + 1e-6))
+        if bad.any():
+            raise ValueError(
+                f"reproject: undersized source window for tile "
+                f"z{z}/{tx}/{ty}: window {w_r}x{h_r} at "
+                f"({sx0},{sy0}), ru range "
+                f"[{ru[inside].min():.1f},{ru[inside].max():.1f}], "
+                f"rv range "
+                f"[{rv[inside].min():.1f},{rv[inside].max():.1f}]")
         if interpolate == "near":
             iu = np.clip(np.rint(ru).astype(np.int64), 0, w_r - 1)
             iv = np.clip(np.rint(rv).astype(np.int64), 0, h_r - 1)

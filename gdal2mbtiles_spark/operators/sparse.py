@@ -28,6 +28,9 @@ sketch, re-planned); the buffer pipeline remains for dense rasters
 from __future__ import annotations
 
 import hashlib
+import os
+import sys
+import time
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -38,7 +41,55 @@ from pyspark.sql import functions as F
 from ..functions.hashing import signed_low64
 from ..grid import TILE_SIDE
 
+_PROF = os.environ.get("SPARK_GRAFT_PROFILE")
+
+
+def _prof(tag: str, t0: float) -> float:
+    """Driver-wall profiler (SPARK_GRAFT_PROFILE=1 -> stderr, =path ->
+    append to file): one line per driver-blocking step, used to locate
+    the serial floor S."""
+    t1 = time.time()
+    if _PROF:
+        line = f"PROF {tag} {t1 - t0:.2f}"
+        if _PROF == "1":
+            print(line, file=sys.stderr, flush=True)
+        else:
+            with open(_PROF, "a") as fh:
+                fh.write(line + "\n")
+    return t1
+
+
 PIXEL_SCHEMA = "z int, gx bigint, gy bigint, r int, g int, b int, a int"
+
+# canon broadcast cap: 128 MB of ~64 B rows (2M distinct images) is
+# cheap to torrent-broadcast and keeps tile payloads exchange-free;
+# beyond it the min_by single-shuffle fallback is the scale plan
+_CANON_BC_CAP = 128 * 1024 * 1024
+
+# Arrow input batch for PIXEL kernels: the session default (256 rows,
+# sized for 262KB tile buffers) hands a pixel kernel ~10KB frames —
+# a z12 task concatenates ~20k of them, measured 182->159s on the
+# phase pass when raised to 64k rows (~2.6MB of 40B pixel rows).
+_PIXEL_ARROW_BATCH = 65536
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+class _pixel_batch_conf:
+    """Scoped raise of the Arrow input batch size for the eager pixel
+    -kernel materializations inside this module; restores the session
+    default (which bounds TILE-buffer batches) on exit."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(_ARROW_BATCH_KEY, None)
+        self.spark.conf.set(_ARROW_BATCH_KEY, str(_PIXEL_ARROW_BATCH))
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set(_ARROW_BATCH_KEY, self.old)
+        return False
 RENDERED_SCHEMA = ("z int, x bigint, y bigint, tile_id bigint, "
                    "tile_hex string, tile_data binary")
 
@@ -143,7 +194,12 @@ def render_sparse_level(pixels: DataFrame, z: int, renderer,
         gy = pdf["gy"].to_numpy(np.int64)
         ch = [pdf[c].to_numpy().astype(np.uint8)
               for c in ("r", "g", "b", "a")]
-        order = np.lexsort((ty, tx))
+        lx_all = (gx & 255).astype(np.uint8)
+        ly_all = (gy & 255).astype(np.uint8)
+        # (ly, lx) in the sort canonicalizes within-tile pixel order
+        # for the content-addressed cache (same scheme as the phase
+        # kernel; PLANS.md §9)
+        order = np.lexsort((lx_all, ly_all, ty, tx))
         key = tx[order] * (np.int64(1) << 32) + ty[order]
         _, starts = np.unique(key, return_index=True)
         bounds = np.append(starts, len(key))
@@ -164,23 +220,33 @@ def render_sparse_level(pixels: DataFrame, z: int, renderer,
             return chunk
 
         canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
+        cache: Dict[bytes, Tuple[int, str, bytes]] = {}
         for i in range(len(starts)):
             s, e = starts[i], bounds[i + 1]
             idx = order[s:e]
             t_x, t_y = int(tx[idx[0]]), int(ty[idx[0]])
-            lx = gx[idx] - t_x * TILE_SIDE
-            ly = gy[idx] - t_y * TILE_SIDE
-            canvas[:] = 0
-            for c in range(4):
-                canvas[ly, lx, c] = ch[c][idx]
-            raw = canvas.tobytes()
-            hx = hashlib.md5(raw).hexdigest()
+            lx = lx_all[idx]
+            ly = ly_all[idx]
+            ck = (lx.tobytes() + ly.tobytes()
+                  + b"".join(c[idx].tobytes() for c in ch))
+            hit = cache.get(ck)
+            if hit is None:
+                for c in range(4):
+                    canvas[ly, lx, c] = ch[c][idx]
+                raw = canvas.tobytes()
+                hx = hashlib.md5(raw).hexdigest()
+                hit = (signed_low64(int(hx, 16)), hx,
+                       renderer.render(raw))
+                canvas[ly, lx] = 0          # clear only lit pixels
+                if len(cache) >= 200_000:
+                    cache.clear()
+                cache[ck] = hit
             out["z"].append(z)
             out["x"].append(t_x)
             out["y"].append(n - 1 - t_y)             # TMS flip
-            out["tile_id"].append(signed_low64(int(hx, 16)))
-            out["tile_hex"].append(hx)
-            out["tile_data"].append(renderer.render(raw))
+            out["tile_id"].append(hit[0])
+            out["tile_hex"].append(hit[1])
+            out["tile_data"].append(hit[2])
             if len(out["z"]) >= out_chunk:
                 yield flush()
         if out["z"]:
@@ -236,7 +302,12 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
         F.shiftright("gx", shift).alias("_ax"),
         F.shiftright("gy", shift).alias("_ay"))
     sc = pixels.sparkSession.sparkContext
-    p = parallelism or sc.defaultParallelism
+    # 2 partitions/core: the kernel runs in as few waves as possible,
+    # but a single wave (1/core) pays the full task-duration spread
+    # as wall time — at z12/32 cores the min->max spread was
+    # 165->191 s, ~11 s of pure tail; two waves halve it for ~nothing
+    # (per-task fixed cost is one concat+lexsort)
+    p = parallelism or 2 * sc.defaultParallelism
     keyed = keyed.repartition(p, "_ax", "_ay")
 
     nones = {"z": None, "x": None, "y": None, "tile_id": None,
@@ -275,27 +346,47 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
 
         pending = []
         canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
+        # content-addressed render cache: a burn's tiles average ~1-2
+        # sparse pixels, so payload-identical tiles are rampant; a
+        # hit skips paint+md5+encode — ~0.75 MB of memory traffic per
+        # tile, the SHARED resource that showed up as the
+        # mode-independent serial floor S at z12 (PLANS.md §9).  The
+        # sort below includes (ly, lx) so within-tile pixel order is
+        # canonical and duplicate content always builds the same key.
+        cache: Dict[bytes, Tuple[int, str, bytes]] = {}
         for lvl in range(top, bottom - 1, -1):
             n = 1 << lvl
             tx_all, ty_all = gx >> 8, gy >> 8
-            order = np.lexsort((ty_all, tx_all))
+            lx_all = (gx & 255).astype(np.uint8)
+            ly_all = (gy & 255).astype(np.uint8)
+            ch_u8 = [c.astype(np.uint8) for c in ch]
+            order = np.lexsort((lx_all, ly_all, ty_all, tx_all))
             key = tx_all[order] * _KEY_SHIFT + ty_all[order]
             _, starts = np.unique(key, return_index=True)
             bounds = np.append(starts, len(key))
             for i in range(len(starts)):
                 idx = order[starts[i]:bounds[i + 1]]
                 t_x, t_y = int(tx_all[idx[0]]), int(ty_all[idx[0]])
-                lx = gx[idx] - (t_x << 8)
-                ly = gy[idx] - (t_y << 8)
-                canvas[:] = 0
-                for c in range(4):
-                    canvas[ly, lx, c] = ch[c][idx].astype(np.uint8)
-                raw = canvas.tobytes()
-                hx = hashlib.md5(raw).hexdigest()
+                lx = lx_all[idx]
+                ly = ly_all[idx]
+                ck = (lx.tobytes() + ly.tobytes()
+                      + b"".join(c[idx].tobytes() for c in ch_u8))
+                hit = cache.get(ck)
+                if hit is None:
+                    for c in range(4):
+                        canvas[ly, lx, c] = ch_u8[c][idx]
+                    raw = canvas.tobytes()
+                    hx = hashlib.md5(raw).hexdigest()
+                    hit = (signed_low64(int(hx, 16)), hx,
+                           renderer.render(raw))
+                    canvas[ly, lx] = 0      # clear only lit pixels
+                    if len(cache) >= 200_000:
+                        cache.clear()       # bound task memory
+                    cache[ck] = hit
                 pending.append(dict(
                     nones, kind=0, z=lvl, x=t_x, y=n - 1 - t_y,
-                    tile_id=signed_low64(int(hx, 16)), tile_hex=hx,
-                    tile_data=renderer.render(raw)))
+                    tile_id=hit[0], tile_hex=hit[1],
+                    tile_data=hit[2]))
                 if len(pending) >= out_chunk:
                     yield _chunk(pending)
                     pending = []
@@ -409,6 +500,7 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         pixels = pixels.localCheckpoint(eager=True)
     rendered_parts = []
     top = z
+    t_prof = time.time()
     while top > apex_top:
         bottom = max(min_resolution, apex_top + 1,
                      top - phase_depth + 1)
@@ -418,7 +510,9 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         if emit:
             # one materialization feeds both the rendered union and
             # the next pass/apex seed
-            out = out.localCheckpoint(eager=True)
+            with _pixel_batch_conf(spark):
+                out = out.localCheckpoint(eager=True)
+            t_prof = _prof(f"phase_ckpt[{top}..{bottom}]", t_prof)
             pixels = out.where(F.col("kind") == 1).select(
                 F.lit(bottom - 1).cast("int").alias("z"),
                 "gx", "gy", "r", "g", "b", "a")
@@ -430,6 +524,7 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
     # checkpoint carries the fat tile_data column, and each per-level
     # branch below would rescan it otherwise
     cur = pixels if top == z else pixels.localCheckpoint(eager=True)
+    t_prof = _prof("apex_seed_ckpt", t_prof)
     driver_apex = 2          # <= (256*2^2)^2 = 1.05M rows, any scale
     apex_parts = []
     lvl = top
@@ -462,35 +557,47 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         F.col("x").alias("tile_column"),
         F.col("y").alias("tile_row"), "tile_id")
 
-    if broadcast_canon is None:
-        # UPPER-BOUND estimate: total tile rows >= distinct images,
-        # so sizing the broadcast against the row count can never
-        # wrongly broadcast a too-big canon (round-2 VERDICT: the
-        # unconditional broadcast here was the headline plan's one
-        # scale hole).  A plain count over the (mostly checkpointed)
-        # rendered relation — no distinct shuffle; it also serves as
-        # the first materialization of the lazy apex checkpoint,
-        # which every downstream consumer needs anyway.
-        from .pyramid import _CANON_ROW_BYTES, _broadcast_threshold
-        n_upper = rendered.count()
-        broadcast_canon = (n_upper * _CANON_ROW_BYTES
-                           < _broadcast_threshold(spark))
-
-    if broadcast_canon:
+    canon = None
+    if broadcast_canon is None or broadcast_canon:
+        # the canonical-owner relation, built NARROWLY: only
+        # (tile_id, z, x, y) rows (~32 B) cross the agg shuffle, and
+        # the eager checkpoint (a few MB per million distinct images)
+        # both materializes the lazy apex union for every downstream
+        # consumer and makes the broadcast-decision count free.
+        # Round-5 change (serial-floor work): the decision was
+        # previously a total-row-count UPPER bound, which at z12
+        # (4.42M rows, 1.58M distinct) wrongly forced the min_by
+        # fallback whose ~2 GB payload shuffle cost a measured
+        # ~28 s that does NOT scale with cores (shared-disk bound) —
+        # the second-largest term of the serial floor S.  The exact
+        # distinct count keeps payloads exchange-free well past the
+        # old cutoff; _CANON_BC_CAP bounds the broadcast at 128 MB
+        # (torrent-distributed, tiny rows), and truly huge pyramids
+        # still fall back to the one-shuffle min_by plan.
         canon = (rendered.select("tile_id", "z", "x", "y")
                  .groupBy("tile_id")
                  .agg(F.min(F.struct("z", "x", "y")).alias("_c"))
-                 .select(F.col("tile_id").alias("_ctid"), "_c"))
+                 .select(F.col("tile_id").alias("_ctid"), "_c")
+                 .localCheckpoint(eager=True))
+        t_prof = _prof("canon_build_ckpt", t_prof)
+    if broadcast_canon is None:
+        from .pyramid import _CANON_ROW_BYTES
+        n_canon = canon.count()
+        t_prof = _prof("canon_count", t_prof)
+        broadcast_canon = (n_canon * _CANON_ROW_BYTES
+                           < _CANON_BC_CAP)
+
+    if broadcast_canon:
         images = (rendered.join(
             F.broadcast(canon),
             (F.col("tile_id") == F.col("_ctid"))
             & (F.struct("z", "x", "y") == F.col("_c")), "inner")
             .select("tile_id", "tile_data", "tile_hex"))
     else:
-        # distinct-image relation too big to broadcast: pick the
-        # canonical payload in ONE hash aggregate.  Payloads (already
-        # encoded, ~KB) cross an exchange once; no driver collect, no
-        # broadcast — bounded at any distinct-image count.
+        # distinct-image relation too big even for _CANON_BC_CAP:
+        # pick the canonical payload in ONE hash aggregate.  Payloads
+        # (already encoded, ~KB) cross an exchange once; no driver
+        # collect, no broadcast — bounded at any distinct-image count.
         images = (rendered.groupBy("tile_id")
                   .agg(F.min_by("tile_data", F.struct("z", "x", "y"))
                        .alias("tile_data"),

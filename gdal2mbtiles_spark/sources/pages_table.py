@@ -20,20 +20,26 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 
 
 def write_partitioned_pages(df: DataFrame, path: str,
-                            mode: str = "overwrite") -> None:
+                            mode: str = "overwrite",
+                            writers_per_partition: int = 4) -> None:
     """Materialize the pages table Hive-partitioned by
     (lang, ts_bucket) — the parquet stand-in for the Iceberg
     partition spec in SURVEY.md §1 (round-3 VERDICT #6).
 
     ts_bucket is the calendar month of warc_ts (a Common-Crawl dump
     granularity), derived here so callers pass the raw input_hint
-    schema.  The pre-write ``repartition(lang, ts_bucket)`` routes
-    each Hive partition's rows to one task: without it every task
-    opens a writer per (lang, month) pair and a 1000-executor job
-    emits tasks x partitions tiny files."""
+    schema.  The pre-write repartition is on (lang, ts_bucket, salt)
+    with a small hash-derived salt: a bare (lang, ts_bucket)
+    repartition routes each Hive partition to exactly ONE task, so a
+    hot (lang, month) — English in any crawl month — becomes a
+    single-task straggler writing one giant file (round-4 ADVICE);
+    no repartition at all is the opposite failure (tasks x partitions
+    tiny files).  The salt caps both: at most
+    ``writers_per_partition`` files AND tasks per (lang, month)."""
     out = df.withColumn("ts_bucket",
                         F.date_format("warc_ts", "yyyy-MM"))
-    (out.repartition("lang", "ts_bucket")
+    salt = F.pmod(F.xxhash64("url"), F.lit(writers_per_partition))
+    (out.repartition(F.col("lang"), F.col("ts_bucket"), salt)
      .write.partitionBy("lang", "ts_bucket").mode(mode).parquet(path))
 
 

@@ -99,3 +99,39 @@ def world_gradient(spark: SparkSession, size: int = 1024
     """world_1024-style fixture: whole-world RGBA gradient."""
     meta = whole_world_raster_meta(size, size)
     return native_tiles(spark, meta), meta
+
+def synth_gradient_blocks(spark: SparkSession, xsize: int,
+                          ysize: int) -> DataFrame:
+    """Distributed 256x256 block synthesis of the gradient pattern:
+    (bx, by, px) rows generated on executors from a ``spark.range``
+    over block keys — the scale path for foreign-SRS warp sources
+    (the driver-side ``blocks_from_array`` twin is bounded at
+    8192x8192; this one is bounded only by the cluster).  Edge blocks
+    are zero-padded beyond the raster extent, bit-identical to
+    ``blocks_from_array`` on the same (xsize, ysize)."""
+    B = 256
+    nbx, nby = -(-xsize // B), -(-ysize // B)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"bx": [], "by": [], "px": []}
+            for bid in pdf["id"]:
+                bx, by = int(bid) % nbx, int(bid) // nbx
+                gx, gy = np.meshgrid(
+                    np.arange(bx * B, (bx + 1) * B),
+                    np.arange(by * B, (by + 1) * B))
+                blk = gradient_pixels(gx, gy)
+                # zero-pad outside the raster (blocks_from_array twin)
+                blk[:, (gx[0] >= xsize)] = 0
+                blk[(gy[:, 0] >= ysize), :] = 0
+                out["bx"].append(bx)
+                out["by"].append(by)
+                out["px"].append(blk.tobytes())
+            yield pd.DataFrame({"bx": pd.Series(out["bx"], dtype="int32"),
+                                "by": pd.Series(out["by"], dtype="int32"),
+                                "px": out["px"]})
+
+    p = int(spark.sparkContext.defaultParallelism)
+    return (spark.range(nbx * nby,
+                        numPartitions=min(4 * p, nbx * nby))
+            .mapInPandas(synth, schema="bx int, by int, px binary"))

