@@ -110,8 +110,9 @@ def main():
                / (4.0 * low["median_tiles_per_s"]))
         out = {"base_executors": base, "repeats": repeats,
                "eff_median": round(eff, 3), "low": low, "high": high}
+        rnd = os.environ.get("SPARK_GRAFT_SCALING_ROUND", "r5")
         path = os.path.join(REPO, "BENCH",
-                            f"scaling_r4_base{base}.json")
+                            f"scaling_{rnd}_base{base}.json")
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1)
         print(json.dumps({"eff_median": round(eff, 3),
