@@ -1,8 +1,10 @@
-"""Deterministic pure-numpy baseline JPEG codec (K6).
+"""Deterministic pure-numpy JPEG codec (K6).
 
-Implements the subset of ITU-T T.81 the tile sink needs: baseline
-sequential DCT, 8-bit samples, 4:4:4 (no chroma subsampling), JFIF
-APP0, with the Annex-K-style quantization and Huffman tables written
+Implements the subset of ITU-T T.81 the tile sink and the multimodal
+decode path need: baseline sequential DCT (SOF0) and progressive DCT
+(SOF2, Annex G: spectral selection + successive approximation + EOB
+runs — round 5), 8-bit samples, 4:4:4 and 4:2:0 sampling, JFIF APP0,
+with the Annex-K-style quantization and Huffman tables written
 explicitly into DQT/DHT segments — a JPEG file carries its own tables,
 so any conformant decoder reads the output regardless of table choice.
 Replaces round 1's deflate stand-in (the reference shells out to
@@ -10,8 +12,13 @@ libvips jpegsave, reference renderers.py:49-95; its bytes are
 OS-dependent, ours are bit-identical on every executor, which is what
 content-addressed tile dedup requires).
 
-The decoder half supports exactly what the encoder emits and exists
-for round-trip tests — this container has no system JPEG library.
+The decoder accepts any conformant scan script for the supported
+frame types (multi-scan coefficient accumulation, interleaved and
+non-interleaved), not just this encoder's output; restart intervals
+are the one loudly-rejected feature.  This container has no system
+JPEG library, so the progressive oracle is exactness: a progressive
+file carries the same quantized coefficients as its baseline twin,
+and both must decode to identical pixels (tests/test_jpeg.py).
 
 Hot-path note: encode is vectorized per tile (one einsum DCT over all
 blocks, vectorized quantize/zigzag); only the entropy coding is a
@@ -242,13 +249,228 @@ def _quantized_zigzag(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
 
 
+# --- progressive entropy coding (ITU-T T.81 Annex G) -------------------------
+
+# Generic AC table for progressive scans: every (run, size<=10) symbol
+# plus all EOBn/ZRL at a uniform 9 bits (176 codes; the all-ones code
+# of the maximum length stays unused per C.2).  Spec-valid for any
+# coefficient stream; a frequency-optimized table would shrink files
+# but not change decodability.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = [r * 16 + s for r in range(16) for s in range(11)]
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: v / 2^al truncated toward ZERO (T.81
+    G.1.2.2).  DC uses a plain arithmetic shift instead (A.4.1)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_dc_first_scan(bw: _BitWriter, mcu_iter, al: int,
+                       dc_codes) -> None:
+    prev = [0, 0, 0]
+    for ci, blk in mcu_iter:
+        v = int(blk[0]) >> al
+        size, bits = _magnitude(v - prev[ci])
+        prev[ci] = v
+        c, ln = dc_codes[ci][size]
+        bw.write(c, ln)
+        bw.write(bits, size)
+
+
+def _enc_dc_refine_scan(bw: _BitWriter, mcu_iter, al: int) -> None:
+    for _, blk in mcu_iter:
+        bw.write((int(blk[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first_scan(bw: _BitWriter, blocks, ss: int, se: int,
+                       al: int, codes) -> None:
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = codes[r << 4]
+            bw.write(c, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        vals = [_pt(int(blk[k]), al) for k in range(ss, se + 1)]
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = codes[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, ln = codes[run * 16 + size]
+            bw.write(c, ln)
+            bw.write(bits, size)
+            run = 0
+        if last < se - ss:
+            eobrun = 1
+    flush_eob()
+
+
+def _enc_ac_refine_scan(bw: _BitWriter, blocks, ss: int, se: int,
+                        al: int, codes) -> None:
+    """The G.1.2.3 correction pass (libjpeg encode_mcu_AC_refine
+    shape): newly-significant coefficients (|v|>>al == 1) get (run,1)
+    symbols + a sign bit; already-significant ones contribute one
+    buffered correction bit each, emitted after the next symbol/EOBn
+    so the decoder meets them in traversal order."""
+    eobrun = 0
+    pending: list = []      # correction bits riding the open EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = codes[r << 4]
+            bw.write(c, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob_i = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_i = i
+        run = 0
+        local: list = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_i:
+                flush_eob()
+                c, ln = codes[0xF0]
+                bw.write(c, ln)
+                run -= 16
+                for b in local:
+                    bw.write(b, 1)
+                local = []
+            if t > 1:
+                local.append(t & 1)
+                continue
+            flush_eob()
+            c, ln = codes[run * 16 + 1]
+            bw.write(c, ln)
+            bw.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            run = 0
+            for b in local:
+                bw.write(b, 1)
+            local = []
+        if run > 0 or local:
+            eobrun += 1
+            pending.extend(local)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _sos_header(comps_desc, ss: int, se: int, ah: int,
+                al: int) -> bytes:
+    n = len(comps_desc)
+    out = b"\xff\xda" + struct.pack(">H", 6 + 2 * n) + bytes([n])
+    for cid, td, ta in comps_desc:
+        out += bytes([cid, td * 16 + ta])
+    return out + bytes([ss, se, ah * 16 + al])
+
+
+def _progressive_scans(zzb, mcu_blocks, true_h: int, true_w: int,
+                       sampv, hmax: int, vmax: int) -> bytes:
+    """Entropy-coded scans for the conventional 10-scan YCbCr script
+    (the libjpeg default): interleaved DC at Al=1, banded AC first
+    scans, then successive-approximation refinements to Al=0.
+
+    Interleaved (DC) scans cover the full MCU-padded block grid;
+    non-interleaved (AC) scans cover only each component's TRUE
+    ceil(dim/8) grid (T.81 A.2.2) — a 4:2:0 image padded to the
+    16-px MCU has pad-only luma blocks that appear in DC scans but
+    must be absent from AC scans, or the decoder desyncs."""
+    ac = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    true_nb = []
+    for hi, vi in sampv:
+        ch = -(-(true_h * vi) // vmax)
+        cw = -(-(true_w * hi) // hmax)
+        true_nb.append((-(-ch // 8), -(-cw // 8)))
+    dc_by_ci = (_DC_L, _DC_C, _DC_C)
+    script = [
+        ("dc_first", None, 0, 0, 0, 1),
+        ("ac_first", 0, 1, 5, 0, 2),
+        ("ac_first", 1, 1, 63, 0, 1),
+        ("ac_first", 2, 1, 63, 0, 1),
+        ("ac_first", 0, 6, 63, 0, 2),
+        ("ac_refine", 0, 1, 63, 2, 1),
+        ("dc_refine", None, 0, 0, 1, 0),
+        ("ac_refine", 1, 1, 63, 1, 0),
+        ("ac_refine", 2, 1, 63, 1, 0),
+        ("ac_refine", 0, 1, 63, 1, 0),
+    ]
+    out = bytearray()
+    for kind, ci, ss, se, ah, al in script:
+        bw = _BitWriter()
+        if ci is None:      # interleaved DC scan, all components
+            out += _sos_header(((1, 0, 0), (2, 1, 0), (3, 1, 0)),
+                               ss, se, ah, al)
+            if kind == "dc_first":
+                _enc_dc_first_scan(bw, mcu_blocks(), al, dc_by_ci)
+            else:
+                _enc_dc_refine_scan(bw, mcu_blocks(), al)
+        else:
+            out += _sos_header(((ci + 1, 0, 0),), ss, se, ah, al)
+            by_t, bx_t = true_nb[ci]
+            blocks = zzb[ci][:by_t, :bx_t].reshape(-1, 64)
+            if kind == "ac_first":
+                _enc_ac_first_scan(bw, blocks, ss, se, al, ac)
+            else:
+                _enc_ac_refine_scan(bw, blocks, ss, se, al, ac)
+        bw.flush()
+        out += bw.buf
+    return bytes(out)
+
+
 def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
-                    subsampling: str = "444") -> bytes:
-    """(h, w, 3) uint8 -> baseline JFIF bytes.
+                    subsampling: str = "444",
+                    progressive: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> JFIF bytes.
 
     subsampling: '444' (1 block per component per MCU) or '420' (2x2
     luma blocks + one box-averaged chroma block per 16x16 MCU — the
     majority real-world layout, round-4 VERDICT #3).
+
+    progressive=True writes SOF2 with the conventional 10-scan
+    YCbCr script (DC Al=1 interleaved -> banded AC first scans ->
+    successive-approximation refinements — the libjpeg default
+    shape), exercising spectral selection, two-stage refinement and
+    EOB runs.  The quantized coefficients are identical to the
+    baseline file's, so both decode to identical pixels.  AC scans
+    use a generic uniform-length Huffman table (spec-valid; a
+    frequency-optimized table is a size optimization, not a
+    correctness one).
 
     Arbitrary dimensions: edge-replicated to a multiple of the MCU
     side (the declared SOF size keeps the true dimensions, per
@@ -275,16 +497,10 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b
 
     ql, qc = scaled_quant_tables(quality)
-    bw = _BitWriter()
     if subsampling == "444":
-        zz = [_quantized_zigzag(p, q)
-              for p, q in ((y, ql), (cb, qc), (cr, qc))]
-        codes = ((_DC_L, _AC_L), (_DC_C, _AC_C), (_DC_C, _AC_C))
-        prev = [0, 0, 0]
-        for m in range(zz[0].shape[0]):     # MCU = 1 block/component
-            for ci, (dc_c, ac_c) in enumerate(codes):
-                prev[ci] = _encode_block(zz[ci][m], prev[ci],
-                                         dc_c, ac_c, bw)
+        zzb = [_quantized_zigzag(p, q).reshape(h // 8, w // 8, 64)
+               for p, q in ((y, ql), (cb, qc), (cr, qc))]
+        sampv = ((1, 1), (1, 1), (1, 1))
         samp = (0x11, 0x11, 0x11)
     else:
         # 4:2:0 — chroma box-averaged 2x2; MCU = 4 Y + 1 Cb + 1 Cr
@@ -292,26 +508,24 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
                + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4.0
         cr2 = (cr[0::2, 0::2] + cr[0::2, 1::2]
                + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4.0
-        zz_y = _quantized_zigzag(y, ql)
-        zz_cb = _quantized_zigzag(cb2, qc)
-        zz_cr = _quantized_zigzag(cr2, qc)
-        w8 = w // 8
-        prev = [0, 0, 0]
-        n_my, n_mx = h // 16, w // 16
-        for my in range(n_my):
-            for mx in range(n_mx):
-                for dy in range(2):
-                    for dx in range(2):
-                        bi = (2 * my + dy) * w8 + 2 * mx + dx
-                        prev[0] = _encode_block(zz_y[bi], prev[0],
-                                                _DC_L, _AC_L, bw)
-                ci = my * n_mx + mx
-                prev[1] = _encode_block(zz_cb[ci], prev[1],
-                                        _DC_C, _AC_C, bw)
-                prev[2] = _encode_block(zz_cr[ci], prev[2],
-                                        _DC_C, _AC_C, bw)
+        zzb = [_quantized_zigzag(y, ql).reshape(h // 8, w // 8, 64),
+               _quantized_zigzag(cb2, qc).reshape(h // 16, w // 16, 64),
+               _quantized_zigzag(cr2, qc).reshape(h // 16, w // 16, 64)]
+        sampv = ((2, 2), (1, 1), (1, 1))
         samp = (0x22, 0x11, 0x11)
-    bw.flush()
+    hmax = max(s[0] for s in sampv)
+    vmax = max(s[1] for s in sampv)
+    mcus_y, mcus_x = h // (8 * vmax), w // (8 * hmax)
+
+    def mcu_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(3):
+                    hi, vi = sampv[ci]
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            yield ci, zzb[ci][my * vi + dy,
+                                              mx * hi + dx]
 
     out = bytearray(b"\xff\xd8")                          # SOI
     out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
@@ -320,18 +534,32 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
     for tq, q in ((0, ql), (1, qc)):                      # DQT (zigzagged)
         out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
                 + bytes(int(v) for v in q.reshape(64)[ZIGZAG]))
-    out += (b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])  # SOF0
+    sof = 0xC2 if progressive else 0xC0
+    out += (bytes([0xFF, sof]) + struct.pack(">H", 17) + bytes([8])
             + struct.pack(">HH", true_h, true_w) + bytes([3])
             + bytes([1, samp[0], 0]) + bytes([2, samp[1], 1])
             + bytes([3, samp[2], 1]))
-    out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
-    out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
-    out += _dht_segment(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
-    out += (b"\xff\xda" + struct.pack(">H", 12) + bytes([3])  # SOS
-            + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
-            + bytes([0, 63, 0]))
-    out += bw.buf
+    if not progressive:
+        bw = _BitWriter()
+        codes = ((_DC_L, _AC_L), (_DC_C, _AC_C), (_DC_C, _AC_C))
+        prev = [0, 0, 0]
+        for ci, blk in mcu_blocks():
+            prev[ci] = _encode_block(blk, prev[ci], *codes[ci], bw)
+        bw.flush()
+        out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+        out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
+        out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        out += (b"\xff\xda" + struct.pack(">H", 12) + bytes([3])
+                + bytes([1, 0x00]) + bytes([2, 0x11])
+                + bytes([3, 0x11]) + bytes([0, 63, 0]))
+        out += bw.buf
+    else:
+        out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+        out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(0x10, _PROG_AC_BITS, _PROG_AC_VALS)
+        out += _progressive_scans(zzb, mcu_blocks, true_h, true_w,
+                                  sampv, hmax, vmax)
     out += b"\xff\xd9"                                    # EOI
     return bytes(out)
 
@@ -381,83 +609,114 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg_rgb(data: bytes) -> np.ndarray:
-    """Decode baseline 3-component JFIF with any (hi, vi) sampling
-    the SOF declares — 4:4:4 (1x1,1x1,1x1) and the majority
-    real-world 4:2:0 (2x2,1x1,1x1) in particular (round-4 VERDICT
-    #3).  Subsampled chroma planes are nearest-replicated back to
-    full resolution (the JFIF box-filter inverse)."""
-    assert data[:2] == b"\xff\xd8"
-    pos = 2
-    quant: Dict[int, np.ndarray] = {}
-    huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
-    h = w = 0
-    comp_q: Dict[int, int] = {}
-    comp_s: Dict[int, Tuple[int, int]] = {}      # (hi, vi) per comp
-    comp_t: Dict[int, Tuple[int, int]] = {}
-    order = []
-    while pos < len(data):
-        assert data[pos] == 0xFF, hex(data[pos])
-        marker = data[pos + 1]
-        if marker == 0xD9:
-            break
-        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
-        seg = data[pos + 4:pos + 2 + seglen]
-        pos += 2 + seglen
-        if marker == 0xDB:
-            tq = seg[0] & 0x0F
-            dezig = np.zeros(64, dtype=np.int32)
-            dezig[ZIGZAG] = np.frombuffer(seg[1:65], np.uint8)
-            quant[tq] = dezig.reshape(8, 8)
-        elif marker == 0xC0:
-            h, w = struct.unpack(">HH", seg[1:5])
-            ncomp = seg[5]
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comp_q[cid] = tq
-                comp_s[cid] = (hv >> 4, hv & 0x0F)
-        elif marker == 0xC4:
-            off = 0
-            while off < len(seg):
-                tc_th = seg[off]
-                bits = list(seg[off + 1:off + 17])
-                nvals = sum(bits)
-                vals = list(seg[off + 17:off + 17 + nvals])
-                table: Dict[Tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(bits[length - 1]):
-                        table[(length, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc_th >> 4, tc_th & 0x0F)] = table
-                off += 17 + nvals
-        elif marker == 0xDA:
-            ncomp = seg[0]
-            for c in range(ncomp):
-                cid, tdta = seg[1 + 2 * c:3 + 2 * c]
-                comp_t[cid] = (tdta >> 4, tdta & 0x0F)
-                order.append(cid)
-            break
-    hmax = max(s[0] for s in comp_s.values())
-    vmax = max(s[1] for s in comp_s.values())
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    br = _BitReader(data[pos:])
-    prev = {cid: 0 for cid in order}
-    # per-component block-plane: (mcus_y*vi, mcus_x*hi) 8x8 blocks
-    planes = {cid: np.zeros((mcus_y * comp_s[cid][1] * 8,
-                             mcus_x * comp_s[cid][0] * 8))
-              for cid in order}
+def _parse_dht(seg: bytes,
+               huff: Dict[Tuple[int, int],
+                          Dict[Tuple[int, int], int]]) -> None:
+    off = 0
+    while off < len(seg):
+        tc_th = seg[off]
+        bits = list(seg[off + 1:off + 17])
+        nvals = sum(bits)
+        vals = list(seg[off + 17:off + 17 + nvals])
+        table: Dict[Tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        huff[(tc_th >> 4, tc_th & 0x0F)] = table
+        off += 17 + nvals
 
-    def _decode_one(cid):
-        td, ta = comp_t[cid]
-        zz = np.zeros(64, dtype=np.int32)
+
+def _decode_scan(br: "_BitReader", scan_comps, ss: int, se: int,
+                 ah: int, al: int, progressive: bool, coefs, nb,
+                 comp_s, huff, mcus_x: int, mcus_y: int) -> None:
+    """Decode one scan's entropy data into the per-component zigzag
+    coefficient arrays.  Baseline = the single (Ss=0, Se=63, Ah=Al=0)
+    interleaved scan; progressive dispatches on (Ss==0, Ah==0) to the
+    four T.81 Annex-G procedures (DC/AC x first/refinement)."""
+    prev = {cid: 0 for cid, _, _ in scan_comps}
+    eobrun = 0
+
+    def dc_first(cid, td, blk):
         s = _decode_huffman(br, huff[(0, td)])
-        diff = _extend(br.read_bits(s), s)
-        prev[cid] += diff
-        zz[0] = prev[cid]
+        prev[cid] += _extend(br.read_bits(s), s)
+        blk[0] = prev[cid] << al
+
+    def dc_refine(blk):
+        if br.read_bit():
+            blk[0] |= 1 << al           # two's-complement bit fill
+
+    def ac_first(ta, blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huffman(br, huff[(1, ta)])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:             # EOBn: run of (1<<r)+ext blocks
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += 16                 # ZRL
+            else:
+                k += r
+                blk[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+
+    def ac_refine(ta, blk):
+        # T.81 G.2 / the libjpeg decode_mcu_AC_refine control flow:
+        # newly-significant coefficients arrive as (run,1) symbols;
+        # every already-nonzero coefficient passed on the way (and
+        # every nonzero one inside an EOB run) carries one correction
+        # bit.
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huffman(br, huff[(1, ta)])
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    def full_block(cid, td, ta, blk):
+        dc_first(cid, td, blk)
         k = 1
         while k < 64:
             rs = _decode_huffman(br, huff[(1, ta)])
@@ -468,32 +727,137 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
                 continue
             k += rs >> 4
             size = rs & 0x0F
-            zz[k] = _extend(br.read_bits(size), size)
+            blk[k] = _extend(br.read_bits(size), size)
             k += 1
-        blk = np.zeros(64, dtype=np.float64)
-        blk[ZIGZAG] = zz
-        coef = blk.reshape(8, 8) * quant[comp_q[cid]]
-        return _DCT.T @ coef @ _DCT
 
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for cid in order:
-                hi, vi = comp_s[cid]
-                for dy in range(vi):
-                    for dx in range(hi):
-                        by = (my * vi + dy) * 8
-                        bx = (mx * hi + dx) * 8
-                        planes[cid][by:by + 8, bx:bx + 8] = \
-                            _decode_one(cid)
+    def decode_block(cid, td, ta, blk):
+        if not progressive:
+            full_block(cid, td, ta, blk)
+        elif ss == 0:
+            dc_first(cid, td, blk) if ah == 0 else dc_refine(blk)
+        else:
+            ac_first(ta, blk) if ah == 0 else ac_refine(ta, blk)
+
+    if len(scan_comps) > 1:             # interleaved: MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, td, ta in scan_comps:
+                    hi, vi = comp_s[cid]
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            decode_block(
+                                cid, td, ta,
+                                coefs[cid][my * vi + dy, mx * hi + dx])
+    else:                               # non-interleaved: comp's own grid
+        cid, td, ta = scan_comps[0]
+        by_true, bx_true = nb[cid]
+        for by in range(by_true):
+            for bx in range(bx_true):
+                decode_block(cid, td, ta, coefs[cid][by, bx])
+
+
+def decode_jpeg_rgb(data: bytes) -> np.ndarray:
+    """Decode 3-component JFIF: baseline (SOF0, one interleaved scan)
+    and progressive (SOF2 — spectral selection + successive
+    approximation, any conformant scan script per ITU-T T.81 Annex G),
+    with any (hi, vi) sampling the SOF declares — 4:4:4 and the
+    majority real-world 4:2:0 in particular (round-4 VERDICT #3,
+    round-5 progressive).  Coefficients accumulate across scans in
+    zigzag space; dequantize/IDCT/upsample run once at EOI.
+    Subsampled chroma planes are nearest-replicated back to full
+    resolution (the JFIF box-filter inverse).  Restart intervals
+    (DRI) are rejected loudly — encode_jpeg_rgb never emits them."""
+    assert data[:2] == b"\xff\xd8"
+    pos = 2
+    quant: Dict[int, np.ndarray] = {}
+    huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    h = w = 0
+    comp_q: Dict[int, int] = {}
+    comp_s: Dict[int, Tuple[int, int]] = {}      # (hi, vi) per comp
+    frame_order: list = []
+    progressive = False
+    coefs: Dict[int, np.ndarray] = {}   # cid -> (by, bx, 64) zigzag
+    nb: Dict[int, Tuple[int, int]] = {}  # cid -> true block grid
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+
+    while pos + 1 < len(data):
+        assert data[pos] == 0xFF, hex(data[pos])
+        marker = data[pos + 1]
+        if marker == 0xFF:              # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0xD9:              # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        seg = data[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                tq = seg[off] & 0x0F
+                dezig = np.zeros(64, dtype=np.int32)
+                dezig[ZIGZAG] = np.frombuffer(seg[off + 1:off + 65],
+                                              np.uint8)
+                quant[tq] = dezig.reshape(8, 8)
+                off += 65
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comp_q[cid] = tq
+                comp_s[cid] = (hv >> 4, hv & 0x0F)
+                frame_order.append(cid)
+            hmax = max(s[0] for s in comp_s.values())
+            vmax = max(s[1] for s in comp_s.values())
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for cid, (hi, vi) in comp_s.items():
+                coefs[cid] = np.zeros((mcus_y * vi, mcus_x * hi, 64),
+                                      np.int32)
+                # non-interleaved scans cover ceil(comp_dim/8) blocks
+                nb[cid] = (-(-(-(-h * vi // vmax)) // 8),
+                           -(-(-(-w * hi // hmax)) // 8))
+        elif marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals (DRI) unsupported")
+        elif marker == 0xDA:
+            ncomp = seg[0]
+            scan_comps = []
+            for c in range(ncomp):
+                cid, tdta = seg[1 + 2 * c:3 + 2 * c]
+                scan_comps.append((cid, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ncomp:4 + 2 * ncomp]
+            _decode_scan(_BitReader(data[pos:]), scan_comps, ss, se,
+                         ahal >> 4, ahal & 0x0F, progressive, coefs,
+                         nb, comp_s, huff, mcus_x, mcus_y)
+            # the entropy-coded span ends at the next marker (any
+            # 0xFF not followed by a stuffed 0x00)
+            while pos + 1 < len(data) and not (
+                    data[pos] == 0xFF and data[pos + 1] != 0x00):
+                pos += 1
+
     out = {}
-    for cid in order:
+    for cid in frame_order:
         hi, vi = comp_s[cid]
-        p = planes[cid]
+        zz = coefs[cid].reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        blocks = nat.reshape(-1, 8, 8) * quant[comp_q[cid]]
+        pix = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT)
+        by, bx = coefs[cid].shape[:2]
+        p = (pix.reshape(by, bx, 8, 8)
+             .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
         if hi < hmax or vi < vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0),
                           hmax // hi, axis=1)
         out[cid] = p[:h, :w]
-    y, cb, cr = out[1] + 128.0, out[2], out[3]
+    c1, c2, c3 = frame_order[:3]
+    y, cb, cr = out[c1] + 128.0, out[c2], out[c3]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb

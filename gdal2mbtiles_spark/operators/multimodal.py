@@ -4,7 +4,8 @@ Arrow-batched kernels over ``mapInPandas``.
 
 The codec boundary is REAL for the two formats the engine itself
 implements with zero dependencies — PNG (renderers.decode_png_rgba)
-and baseline JPEG (jpeg.decode_jpeg_rgb) — detected by magic bytes.
+and baseline/progressive JPEG (jpeg.decode_jpeg_rgb) — detected by
+magic bytes.
 Other formats (WebP/AVIF/video) would need PIL/ffmpeg, absent from
 this container: those either raise NotImplementedError or use the
 deterministic fake (``fake=True``); the Spark-side plumbing (schemas,
@@ -43,15 +44,16 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _JPEG_MAGIC = b"\xff\xd8"
 
 
-def _is_supported_baseline_jpeg(media: bytes) -> bool:
+def _is_supported_jpeg(media: bytes) -> bool:
     """True only for frames jpeg.decode_jpeg_rgb actually supports:
-    SOF0, 8-bit, 3 components, 4:4:4 (0x11) or 4:2:0 (0x22 luma +
-    0x11 chroma — the majority real-world layout, decodable since
-    round 5) sampling.  A progressive (SOF2) or exotically sampled
-    file must NOT be routed into the decoder — it would fail deep
-    inside instead of taking the clean NotImplementedError/fake path
-    (round-2 ADVICE)."""
+    SOF0 baseline OR SOF2 progressive (round-5), 8-bit, 3 components,
+    4:4:4 (0x11) or 4:2:0 (0x22 luma + 0x11 chroma — the majority
+    real-world layout) sampling, no restart intervals.  A lossless/
+    arithmetic/12-bit or exotically sampled file must NOT be routed
+    into the decoder — it would fail deep inside instead of taking
+    the clean NotImplementedError/fake path (round-2 ADVICE)."""
     i, n = 2, len(media)
+    sof_ok = False
     while i + 4 <= n and media[i] == 0xFF:
         # optional fill bytes: any number of extra 0xFF may pad the
         # space before a marker (ITU-T T.81 B.1.1.2); treating the pad
@@ -66,7 +68,7 @@ def _is_supported_baseline_jpeg(media: bytes) -> bool:
             i += 2
             continue
         seg_len = int.from_bytes(media[i + 2:i + 4], "big")
-        if marker == 0xC0:                              # SOF0 baseline
+        if marker in (0xC0, 0xC2):              # baseline/progressive
             seg = media[i + 4:i + 2 + seg_len]
             if len(seg) < 6:
                 return False
@@ -74,20 +76,25 @@ def _is_supported_baseline_jpeg(media: bytes) -> bool:
             if precision != 8 or ncomp != 3 or len(seg) < 6 + 3 * 3:
                 return False
             samp = tuple(seg[6 + 3 * c + 1] for c in range(3))
-            return samp in ((0x11, 0x11, 0x11),       # 4:4:4
-                            (0x22, 0x11, 0x11))       # 4:2:0
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
-                      0xCA, 0xCB, 0xCD, 0xCE, 0xCF):    # other SOFs
+            if samp not in ((0x11, 0x11, 0x11),       # 4:4:4
+                            (0x22, 0x11, 0x11)):      # 4:2:0
+                return False
+            sof_ok = True                # keep scanning for DRI
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):  # other SOFs
             return False
-        if marker == 0xDA:                              # SOS, no SOF
+        elif marker == 0xDD:                    # DRI: decoder rejects
             return False
+        elif marker == 0xDA:
+            return sof_ok
         i += 2 + seg_len
     return False
 
 
 def _decode_rgb_stub(media: bytes, width: int, height: int,
                      fake: bool) -> np.ndarray:
-    """Codec boundary.  PNG and baseline JPEG decode for real through
+    """Codec boundary.  PNG and baseline/progressive JPEG decode for
+    real through
     the engine's own zero-dependency codecs (magic-byte dispatch with
     frame-header validation); anything else is either the
     deterministic fake (bytes tiled into the requested shape) or
@@ -96,7 +103,7 @@ def _decode_rgb_stub(media: bytes, width: int, height: int,
     if media[:8] == _PNG_MAGIC:
         from ..renderers import decode_png_rgba
         return decode_png_rgba(media)[:, :, :3]
-    if media[:2] == _JPEG_MAGIC and _is_supported_baseline_jpeg(media):
+    if media[:2] == _JPEG_MAGIC and _is_supported_jpeg(media):
         from ..jpeg import decode_jpeg_rgb
         return decode_jpeg_rgb(media)
     if not fake:

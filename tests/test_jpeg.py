@@ -198,3 +198,64 @@ def test_444_unchanged_by_420_support():
     dec = decode_jpeg_rgb(encode_jpeg_rgb(img, quality=90))
     err = np.abs(dec.astype(int) - img.astype(int))
     assert err.mean() < 3.0
+
+
+# --- progressive (SOF2, T.81 Annex G) — round 5 -------------------------------
+
+class TestProgressive:
+    def test_sof2_marker_and_scan_count(self):
+        data = encode_jpeg_rgb(smooth(), 85, progressive=True)
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        # the conventional 10-scan YCbCr script
+        assert data.count(b"\xff\xda") >= 10
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("shape", [(64, 64), (48, 40), (37, 53),
+                                       (16, 16), (8, 8), (9, 17)])
+    def test_pixels_identical_to_baseline(self, sub, shape):
+        # progressive reorders the SAME quantized coefficients, so
+        # decode must be bit-identical to the baseline file's decode
+        # (this is an exact oracle, not a tolerance)
+        rng = np.random.default_rng(hash(shape) % 2**32)
+        img = rng.integers(0, 255, size=(*shape, 3), dtype=np.uint8)
+        base = decode_jpeg_rgb(encode_jpeg_rgb(img, 85, sub))
+        prog = decode_jpeg_rgb(
+            encode_jpeg_rgb(img, 85, sub, progressive=True))
+        assert np.array_equal(base, prog)
+
+    def test_noise_stresses_zrl_and_refinement(self):
+        # dense high-frequency content exercises ZRL-in-refinement
+        # and correction-bit buffering across long runs
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 255, size=(96, 104, 3), dtype=np.uint8)
+        for q in (30, 85, 95):
+            a = decode_jpeg_rgb(encode_jpeg_rgb(img, q, "420"))
+            b = decode_jpeg_rgb(
+                encode_jpeg_rgb(img, q, "420", progressive=True))
+            assert np.array_equal(a, b)
+
+    def test_flat_image_long_eob_runs(self):
+        # an all-flat image makes every AC band empty: the encoder
+        # must fold 256 luma blocks into EOBn runs (run > 1 requires
+        # the EOBn symbols absent from the Annex-K baseline tables)
+        img = np.full((128, 128, 3), 77, np.uint8)
+        data = encode_jpeg_rgb(img, 85, "420", progressive=True)
+        a = decode_jpeg_rgb(encode_jpeg_rgb(img, 85, "420"))
+        assert np.array_equal(decode_jpeg_rgb(data), a)
+        # and the progressive file is not absurdly large
+        assert len(data) < 4 * len(encode_jpeg_rgb(img, 85, "420"))
+
+    def test_dri_rejected_loudly(self):
+        data = bytearray(encode_jpeg_rgb(smooth(), 85,
+                                         progressive=True))
+        soi_end = 2
+        dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+        patched = bytes(data[:soi_end]) + dri + bytes(data[soi_end:])
+        with pytest.raises(NotImplementedError):
+            decode_jpeg_rgb(patched)
+
+    def test_deterministic(self):
+        img = smooth(80, 72)
+        a = encode_jpeg_rgb(img, 85, "420", progressive=True)
+        b = encode_jpeg_rgb(img, 85, "420", progressive=True)
+        assert a == b

@@ -139,14 +139,33 @@ class TestRealCodecs:
                            ).reshape(16, 16, 3)
         assert abs(int(f0[..., 0].mean()) - int(img[..., 0].mean())) < 8
 
-    def test_420_sof_accepted_by_validator(self):
+    def test_420_and_progressive_sof_accepted_by_validator(self):
         from gdal2mbtiles_spark.jpeg import encode_jpeg_rgb
         from gdal2mbtiles_spark.operators.multimodal import \
-            _is_supported_baseline_jpeg
+            _is_supported_jpeg
         img = np.zeros((16, 16, 3), dtype=np.uint8)
-        assert _is_supported_baseline_jpeg(
+        assert _is_supported_jpeg(
             encode_jpeg_rgb(img, 85, subsampling="420"))
-        assert _is_supported_baseline_jpeg(encode_jpeg_rgb(img, 85))
+        assert _is_supported_jpeg(encode_jpeg_rgb(img, 85))
+        assert _is_supported_jpeg(
+            encode_jpeg_rgb(img, 85, subsampling="420",
+                            progressive=True))
+
+    def test_progressive_real_decode_on_media_path(self):
+        # a progressive 4:2:0 file must route into the REAL decoder
+        # and reproduce the baseline pixels (identical coefficients)
+        from gdal2mbtiles_spark.jpeg import (decode_jpeg_rgb,
+                                             encode_jpeg_rgb)
+        from gdal2mbtiles_spark.operators.multimodal import \
+            _decode_rgb_stub
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 255, size=(24, 40, 3), dtype=np.uint8)
+        prog = encode_jpeg_rgb(img, 80, subsampling="420",
+                               progressive=True)
+        got = _decode_rgb_stub(prog, 40, 24, fake=False)
+        base = decode_jpeg_rgb(
+            encode_jpeg_rgb(img, 80, subsampling="420"))
+        assert np.array_equal(got, base)
 
 
 class TestLineageResume:
@@ -232,15 +251,16 @@ class TestJpegFillBytes:
 
         from gdal2mbtiles_spark.jpeg import encode_jpeg_rgb
         from gdal2mbtiles_spark.operators.multimodal import \
-            _is_supported_baseline_jpeg
+            _is_supported_jpeg
         img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
         data = encode_jpeg_rgb(img, 90)
-        assert _is_supported_baseline_jpeg(data)
+        assert _is_supported_jpeg(data)
         # insert two fill bytes before the first post-SOI marker
         padded = data[:2] + b"\xff\xff" + data[2:]
-        assert _is_supported_baseline_jpeg(padded)
-        # progressive SOF2 is still rejected, padded or not
-        sof2 = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-        assert not _is_supported_baseline_jpeg(sof2)
-        assert not _is_supported_baseline_jpeg(
-            sof2[:2] + b"\xff\xff" + sof2[2:])
+        assert _is_supported_jpeg(padded)
+        # lossless SOF3 is rejected, padded or not (SOF2 progressive
+        # is accepted since round 5)
+        sof3 = data.replace(b"\xff\xc0", b"\xff\xc3", 1)
+        assert not _is_supported_jpeg(sof3)
+        assert not _is_supported_jpeg(
+            sof3[:2] + b"\xff\xff" + sof3[2:])
