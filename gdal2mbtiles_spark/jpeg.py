@@ -3,10 +3,11 @@
 Implements the subset of ITU-T T.81 the tile sink and the multimodal
 decode path need: baseline sequential DCT (SOF0) and progressive DCT
 (SOF2, Annex G: spectral selection + successive approximation + EOB
-runs — round 5), 8-bit samples, 4:4:4 and 4:2:0 sampling, JFIF APP0,
-with the Annex-K-style quantization and Huffman tables written
-explicitly into DQT/DHT segments — a JPEG file carries its own tables,
-so any conformant decoder reads the output regardless of table choice.
+runs — round 5), 8-bit samples, 4:4:4 and 4:2:0 sampling, restart
+intervals (DRI/RSTn), JFIF APP0, with the Annex-K-style quantization
+and Huffman tables written explicitly into DQT/DHT segments — a JPEG
+file carries its own tables, so any conformant decoder reads the
+output regardless of table choice.
 Replaces round 1's deflate stand-in (the reference shells out to
 libvips jpegsave, reference renderers.py:49-95; its bytes are
 OS-dependent, ours are bit-identical on every executor, which is what
@@ -14,11 +15,11 @@ content-addressed tile dedup requires).
 
 The decoder accepts any conformant scan script for the supported
 frame types (multi-scan coefficient accumulation, interleaved and
-non-interleaved), not just this encoder's output; restart intervals
-are the one loudly-rejected feature.  This container has no system
-JPEG library, so the progressive oracle is exactness: a progressive
-file carries the same quantized coefficients as its baseline twin,
-and both must decode to identical pixels (tests/test_jpeg.py).
+non-interleaved, restart markers), not just this encoder's output.
+This container has no system JPEG library, so the progressive/DRI
+oracle is exactness: those files carry the same quantized
+coefficients as their plain baseline twin, and all must decode to
+identical pixels (tests/test_jpeg.py).
 
 Hot-path note: encode is vectorized per tile (one einsum DCT over all
 blocks, vectorized quantize/zigzag); only the entropy coding is a
@@ -266,25 +267,40 @@ def _pt(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
-def _enc_dc_first_scan(bw: _BitWriter, mcu_iter, al: int,
-                       dc_codes) -> None:
+def _rst_marker(bw: _BitWriter, n: int) -> None:
+    """Byte-align the entropy stream and append RST(n mod 8) —
+    markers are never byte-stuffed."""
+    bw.flush()
+    bw.buf += bytes([0xFF, 0xD0 + (n % 8)])
+
+
+def _enc_dc_first_scan(bw: _BitWriter, groups, al: int,
+                       dc_codes, ri: int = 0) -> None:
     prev = [0, 0, 0]
-    for ci, blk in mcu_iter:
-        v = int(blk[0]) >> al
-        size, bits = _magnitude(v - prev[ci])
-        prev[ci] = v
-        c, ln = dc_codes[ci][size]
-        bw.write(c, ln)
-        bw.write(bits, size)
+    for mi, group in enumerate(groups):
+        if ri and mi and mi % ri == 0:
+            _rst_marker(bw, mi // ri - 1)
+            prev = [0, 0, 0]
+        for ci, blk in group:
+            v = int(blk[0]) >> al
+            size, bits = _magnitude(v - prev[ci])
+            prev[ci] = v
+            c, ln = dc_codes[ci][size]
+            bw.write(c, ln)
+            bw.write(bits, size)
 
 
-def _enc_dc_refine_scan(bw: _BitWriter, mcu_iter, al: int) -> None:
-    for _, blk in mcu_iter:
-        bw.write((int(blk[0]) >> al) & 1, 1)
+def _enc_dc_refine_scan(bw: _BitWriter, groups, al: int,
+                        ri: int = 0) -> None:
+    for mi, group in enumerate(groups):
+        if ri and mi and mi % ri == 0:
+            _rst_marker(bw, mi // ri - 1)
+        for _, blk in group:
+            bw.write((int(blk[0]) >> al) & 1, 1)
 
 
 def _enc_ac_first_scan(bw: _BitWriter, blocks, ss: int, se: int,
-                       al: int, codes) -> None:
+                       al: int, codes, ri: int = 0) -> None:
     eobrun = 0
 
     def flush_eob():
@@ -297,7 +313,10 @@ def _enc_ac_first_scan(bw: _BitWriter, blocks, ss: int, se: int,
                 bw.write(eobrun - (1 << r), r)
             eobrun = 0
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            _rst_marker(bw, bi // ri - 1)
         vals = [_pt(int(blk[k]), al) for k in range(ss, se + 1)]
         last = -1
         for i, v in enumerate(vals):
@@ -330,7 +349,7 @@ def _enc_ac_first_scan(bw: _BitWriter, blocks, ss: int, se: int,
 
 
 def _enc_ac_refine_scan(bw: _BitWriter, blocks, ss: int, se: int,
-                        al: int, codes) -> None:
+                        al: int, codes, ri: int = 0) -> None:
     """The G.1.2.3 correction pass (libjpeg encode_mcu_AC_refine
     shape): newly-significant coefficients (|v|>>al == 1) get (run,1)
     symbols + a sign bit; already-significant ones contribute one
@@ -352,7 +371,10 @@ def _enc_ac_refine_scan(bw: _BitWriter, blocks, ss: int, se: int,
             bw.write(b, 1)
         pending = []
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            _rst_marker(bw, bi // ri - 1)
         absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
         eob_i = -1
         for i, t in enumerate(absv):
@@ -400,8 +422,9 @@ def _sos_header(comps_desc, ss: int, se: int, ah: int,
     return out + bytes([ss, se, ah * 16 + al])
 
 
-def _progressive_scans(zzb, mcu_blocks, true_h: int, true_w: int,
-                       sampv, hmax: int, vmax: int) -> bytes:
+def _progressive_scans(zzb, mcu_groups, true_h: int, true_w: int,
+                       sampv, hmax: int, vmax: int,
+                       ri: int = 0) -> bytes:
     """Entropy-coded scans for the conventional 10-scan YCbCr script
     (the libjpeg default): interleaved DC at Al=1, banded AC first
     scans, then successive-approximation refinements to Al=0.
@@ -437,17 +460,18 @@ def _progressive_scans(zzb, mcu_blocks, true_h: int, true_w: int,
             out += _sos_header(((1, 0, 0), (2, 1, 0), (3, 1, 0)),
                                ss, se, ah, al)
             if kind == "dc_first":
-                _enc_dc_first_scan(bw, mcu_blocks(), al, dc_by_ci)
+                _enc_dc_first_scan(bw, mcu_groups(), al, dc_by_ci,
+                                   ri)
             else:
-                _enc_dc_refine_scan(bw, mcu_blocks(), al)
+                _enc_dc_refine_scan(bw, mcu_groups(), al, ri)
         else:
             out += _sos_header(((ci + 1, 0, 0),), ss, se, ah, al)
             by_t, bx_t = true_nb[ci]
             blocks = zzb[ci][:by_t, :bx_t].reshape(-1, 64)
             if kind == "ac_first":
-                _enc_ac_first_scan(bw, blocks, ss, se, al, ac)
+                _enc_ac_first_scan(bw, blocks, ss, se, al, ac, ri)
             else:
-                _enc_ac_refine_scan(bw, blocks, ss, se, al, ac)
+                _enc_ac_refine_scan(bw, blocks, ss, se, al, ac, ri)
         bw.flush()
         out += bw.buf
     return bytes(out)
@@ -455,8 +479,14 @@ def _progressive_scans(zzb, mcu_blocks, true_h: int, true_w: int,
 
 def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
                     subsampling: str = "444",
-                    progressive: bool = False) -> bytes:
+                    progressive: bool = False,
+                    restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 -> JFIF bytes.
+
+    restart_interval > 0 writes a DRI segment and an RSTn marker
+    every that-many MCUs (blocks, in non-interleaved progressive
+    scans), resetting DC prediction and EOB runs — the
+    error-resilience feature camera/web encoders emit routinely.
 
     subsampling: '444' (1 block per component per MCU) or '420' (2x2
     luma blocks + one box-averaged chroma block per 16x16 MCU — the
@@ -517,16 +547,20 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
     vmax = max(s[1] for s in sampv)
     mcus_y, mcus_x = h // (8 * vmax), w // (8 * hmax)
 
-    def mcu_blocks():
+    def mcu_groups():
+        """One list of (ci, block) per MCU, in MCU raster order."""
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                group = []
                 for ci in range(3):
                     hi, vi = sampv[ci]
                     for dy in range(vi):
                         for dx in range(hi):
-                            yield ci, zzb[ci][my * vi + dy,
-                                              mx * hi + dx]
+                            group.append((ci, zzb[ci][my * vi + dy,
+                                                      mx * hi + dx]))
+                yield group
 
+    ri = restart_interval
     out = bytearray(b"\xff\xd8")                          # SOI
     out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
             + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1)
@@ -539,12 +573,19 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
             + struct.pack(">HH", true_h, true_w) + bytes([3])
             + bytes([1, samp[0], 0]) + bytes([2, samp[1], 1])
             + bytes([3, samp[2], 1]))
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)    # DRI
     if not progressive:
         bw = _BitWriter()
         codes = ((_DC_L, _AC_L), (_DC_C, _AC_C), (_DC_C, _AC_C))
         prev = [0, 0, 0]
-        for ci, blk in mcu_blocks():
-            prev[ci] = _encode_block(blk, prev[ci], *codes[ci], bw)
+        for mi, group in enumerate(mcu_groups()):
+            if ri and mi and mi % ri == 0:
+                _rst_marker(bw, mi // ri - 1)
+                prev = [0, 0, 0]
+            for ci, blk in group:
+                prev[ci] = _encode_block(blk, prev[ci], *codes[ci],
+                                         bw)
         bw.flush()
         out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
         out += _dht_segment(0x10, AC_LUMA_BITS, AC_LUMA_VALS)
@@ -558,8 +599,8 @@ def encode_jpeg_rgb(rgb: np.ndarray, quality: int = 85,
         out += _dht_segment(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
         out += _dht_segment(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += _dht_segment(0x10, _PROG_AC_BITS, _PROG_AC_VALS)
-        out += _progressive_scans(zzb, mcu_blocks, true_h, true_w,
-                                  sampv, hmax, vmax)
+        out += _progressive_scans(zzb, mcu_groups, true_h, true_w,
+                                  sampv, hmax, vmax, ri)
     out += b"\xff\xd9"                                    # EOI
     return bytes(out)
 
@@ -590,6 +631,15 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_rst(self) -> None:
+        """Byte-align (dropping pad bits) and consume one RSTn
+        marker (T.81 F.2.1.3.1)."""
+        self.nbits = 0
+        assert (self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7), \
+            "expected restart marker"
+        self.pos += 2
 
 
 def _decode_huffman(br: _BitReader, table: Dict[Tuple[int, int], int]
@@ -632,13 +682,25 @@ def _parse_dht(seg: bytes,
 
 def _decode_scan(br: "_BitReader", scan_comps, ss: int, se: int,
                  ah: int, al: int, progressive: bool, coefs, nb,
-                 comp_s, huff, mcus_x: int, mcus_y: int) -> None:
+                 comp_s, huff, mcus_x: int, mcus_y: int,
+                 ri: int = 0) -> None:
     """Decode one scan's entropy data into the per-component zigzag
     coefficient arrays.  Baseline = the single (Ss=0, Se=63, Ah=Al=0)
     interleaved scan; progressive dispatches on (Ss==0, Ah==0) to the
-    four T.81 Annex-G procedures (DC/AC x first/refinement)."""
+    four T.81 Annex-G procedures (DC/AC x first/refinement).  ri > 0:
+    a restart marker is expected every ri MCUs (one block = one MCU
+    in non-interleaved scans), resetting DC prediction and the EOB
+    run."""
     prev = {cid: 0 for cid, _, _ in scan_comps}
     eobrun = 0
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal eobrun
+        if ri and unit and unit % ri == 0:
+            br.expect_rst()
+            for cid in prev:
+                prev[cid] = 0
+            eobrun = 0
 
     def dc_first(cid, td, blk):
         s = _decode_huffman(br, huff[(0, td)])
@@ -739,21 +801,23 @@ def _decode_scan(br: "_BitReader", scan_comps, ss: int, se: int,
             ac_first(ta, blk) if ah == 0 else ac_refine(ta, blk)
 
     if len(scan_comps) > 1:             # interleaved: MCU order
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for cid, td, ta in scan_comps:
-                    hi, vi = comp_s[cid]
-                    for dy in range(vi):
-                        for dx in range(hi):
-                            decode_block(
-                                cid, td, ta,
-                                coefs[cid][my * vi + dy, mx * hi + dx])
+        for mi in range(mcus_y * mcus_x):
+            maybe_restart(mi)
+            my, mx = divmod(mi, mcus_x)
+            for cid, td, ta in scan_comps:
+                hi, vi = comp_s[cid]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        decode_block(
+                            cid, td, ta,
+                            coefs[cid][my * vi + dy, mx * hi + dx])
     else:                               # non-interleaved: comp's own grid
         cid, td, ta = scan_comps[0]
         by_true, bx_true = nb[cid]
-        for by in range(by_true):
-            for bx in range(bx_true):
-                decode_block(cid, td, ta, coefs[cid][by, bx])
+        for bi in range(by_true * bx_true):
+            maybe_restart(bi)
+            by, bx = divmod(bi, bx_true)
+            decode_block(cid, td, ta, coefs[cid][by, bx])
 
 
 def decode_jpeg_rgb(data: bytes) -> np.ndarray:
@@ -766,7 +830,8 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
     zigzag space; dequantize/IDCT/upsample run once at EOI.
     Subsampled chroma planes are nearest-replicated back to full
     resolution (the JFIF box-filter inverse).  Restart intervals
-    (DRI) are rejected loudly — encode_jpeg_rgb never emits them."""
+    (DRI/RSTn) reset DC prediction and EOB runs at byte-aligned
+    marker boundaries in every scan type."""
     assert data[:2] == b"\xff\xd8"
     pos = 2
     quant: Dict[int, np.ndarray] = {}
@@ -780,6 +845,7 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
     nb: Dict[int, Tuple[int, int]] = {}  # cid -> true block grid
     hmax = vmax = 1
     mcus_x = mcus_y = 0
+    restart_interval = 0
 
     while pos + 1 < len(data):
         assert data[pos] == 0xFF, hex(data[pos])
@@ -823,8 +889,7 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
         elif marker == 0xC4:
             _parse_dht(seg, huff)
         elif marker == 0xDD:
-            raise NotImplementedError(
-                "restart intervals (DRI) unsupported")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             ncomp = seg[0]
             scan_comps = []
@@ -834,11 +899,13 @@ def decode_jpeg_rgb(data: bytes) -> np.ndarray:
             ss, se, ahal = seg[1 + 2 * ncomp:4 + 2 * ncomp]
             _decode_scan(_BitReader(data[pos:]), scan_comps, ss, se,
                          ahal >> 4, ahal & 0x0F, progressive, coefs,
-                         nb, comp_s, huff, mcus_x, mcus_y)
+                         nb, comp_s, huff, mcus_x, mcus_y,
+                         ri=restart_interval)
             # the entropy-coded span ends at the next marker (any
-            # 0xFF not followed by a stuffed 0x00)
+            # 0xFF not followed by a stuffed 0x00 or an in-scan RSTn)
             while pos + 1 < len(data) and not (
-                    data[pos] == 0xFF and data[pos + 1] != 0x00):
+                    data[pos] == 0xFF and data[pos + 1] != 0x00
+                    and not 0xD0 <= data[pos + 1] <= 0xD7):
                 pos += 1
 
     out = {}

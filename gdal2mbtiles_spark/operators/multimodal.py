@@ -48,10 +48,11 @@ def _is_supported_jpeg(media: bytes) -> bool:
     """True only for frames jpeg.decode_jpeg_rgb actually supports:
     SOF0 baseline OR SOF2 progressive (round-5), 8-bit, 3 components,
     4:4:4 (0x11) or 4:2:0 (0x22 luma + 0x11 chroma — the majority
-    real-world layout) sampling, no restart intervals.  A lossless/
-    arithmetic/12-bit or exotically sampled file must NOT be routed
-    into the decoder — it would fail deep inside instead of taking
-    the clean NotImplementedError/fake path (round-2 ADVICE)."""
+    real-world layout) sampling; restart intervals are fine (the
+    decoder handles DRI/RSTn).  A lossless/arithmetic/12-bit or
+    exotically sampled file must NOT be routed into the decoder — it
+    would fail deep inside instead of taking the clean
+    NotImplementedError/fake path (round-2 ADVICE)."""
     i, n = 2, len(media)
     sof_ok = False
     while i + 4 <= n and media[i] == 0xFF:
@@ -82,8 +83,6 @@ def _is_supported_jpeg(media: bytes) -> bool:
             sof_ok = True                # keep scanning for DRI
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):  # other SOFs
-            return False
-        elif marker == 0xDD:                    # DRI: decoder rejects
             return False
         elif marker == 0xDA:
             return sof_ok

@@ -245,17 +245,83 @@ class TestProgressive:
         # and the progressive file is not absurdly large
         assert len(data) < 4 * len(encode_jpeg_rgb(img, 85, "420"))
 
-    def test_dri_rejected_loudly(self):
-        data = bytearray(encode_jpeg_rgb(smooth(), 85,
-                                         progressive=True))
-        soi_end = 2
-        dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
-        patched = bytes(data[:soi_end]) + dri + bytes(data[soi_end:])
-        with pytest.raises(NotImplementedError):
-            decode_jpeg_rgb(patched)
-
     def test_deterministic(self):
         img = smooth(80, 72)
         a = encode_jpeg_rgb(img, 85, "420", progressive=True)
         b = encode_jpeg_rgb(img, 85, "420", progressive=True)
         assert a == b
+
+
+class TestRestartIntervals:
+    """DRI/RSTn (round 5): restart markers change only the entropy
+    framing, never the quantized coefficients, so a DRI file must
+    decode BIT-IDENTICAL to its plain twin — the same exactness
+    oracle the progressive suite uses (no system libjpeg here)."""
+
+    def _noise(self, h, w, seed=7):
+        return (np.random.default_rng(seed)
+                .integers(0, 256, (h, w, 3)).astype(np.uint8))
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("ri", [1, 3, 8])
+    def test_baseline_dri_exact(self, sub, ri):
+        img = smooth(64, 80)
+        plain = decode_jpeg_rgb(encode_jpeg_rgb(img, 85, sub))
+        data = encode_jpeg_rgb(img, 85, sub, restart_interval=ri)
+        assert b"\xff\xdd" in data
+        assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+        assert np.array_equal(decode_jpeg_rgb(data), plain)
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("ri", [2, 5])
+    def test_progressive_dri_exact(self, sub, ri):
+        # noise stresses EOB-run flushes at restart boundaries in the
+        # AC refinement scans (memory: ZRL-in-refinement territory)
+        img = self._noise(48, 64)
+        plain = decode_jpeg_rgb(encode_jpeg_rgb(img, 85, sub))
+        data = encode_jpeg_rgb(img, 85, sub, progressive=True,
+                               restart_interval=ri)
+        assert np.array_equal(decode_jpeg_rgb(data), plain)
+
+    def test_flat_progressive_dri_eob_run_reset(self):
+        # flat image: every AC band is one long EOB run; ri forces it
+        # to flush and restart at every marker in every AC scan
+        img = np.full((64, 96, 3), 130, np.uint8)
+        plain = decode_jpeg_rgb(encode_jpeg_rgb(img, 85, "420"))
+        data = encode_jpeg_rgb(img, 85, "420", progressive=True,
+                               restart_interval=2)
+        assert np.array_equal(decode_jpeg_rgb(data), plain)
+
+    def test_marker_numbering_wraps_mod8(self):
+        # > 8 restarts in one scan: RSTn cycles D0..D7
+        img = smooth(8, 8 * 20)       # 20 MCUs at 4:4:4
+        data = encode_jpeg_rgb(img, 85, "444", restart_interval=1)
+        seen = []
+        i = data.index(b"\xff\xda")
+        while True:
+            j = data.find(b"\xff", i + 2)
+            if j < 0 or j + 1 >= len(data):
+                break
+            m = data[j + 1]
+            if 0xD0 <= m <= 0xD7:
+                seen.append(m - 0xD0)
+            i = j
+        assert len(seen) == 19
+        assert seen == [k % 8 for k in range(19)]
+
+    def test_dri_non_multiple_tail(self):
+        # MCU count not a multiple of ri: trailing partial interval
+        img = smooth(40, 56)          # 5x7 = 35 MCUs, ri=4 -> tail 3
+        plain = decode_jpeg_rgb(encode_jpeg_rgb(img, 85, "444"))
+        data = encode_jpeg_rgb(img, 85, "444", restart_interval=4)
+        assert np.array_equal(decode_jpeg_rgb(data), plain)
+
+    def test_multimodal_validator_accepts_dri(self):
+        from gdal2mbtiles_spark.operators.multimodal import (
+            _is_supported_jpeg)
+        img = smooth(32, 32)
+        data = encode_jpeg_rgb(img, 85, "420", restart_interval=2)
+        assert _is_supported_jpeg(data)
+        prog = encode_jpeg_rgb(img, 85, "420", progressive=True,
+                               restart_interval=2)
+        assert _is_supported_jpeg(prog)
