@@ -330,6 +330,68 @@ def _q_lcc_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "n_tiles bigint, warp_exact_ok boolean")
 
 
+def _q_polar_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/warp family: polar-stereographic (EPSG:3413) foreign-SRS
+    reprojection of a POLE-ENCLOSING source — same pixel-identity
+    contract as utm_warp/lcc_warp, driving the round-5 polar path
+    (PolarStereographic variant B + the full-width target-key branch
+    the wrapped boundary ring requires).  DuckDB cannot evaluate the
+    stereographic forms, so the SQL oracle pins the deterministic
+    tile count and the driver-verified exactness flag."""
+    import math as _m
+
+    import numpy as np
+
+    from gdal2mbtiles_spark.cells import MAX_MERCATOR_LAT
+    from gdal2mbtiles_spark.operators.reproject import \
+        reproject_to_tiles
+    from gdal2mbtiles_spark.operators.resample import blocks_from_array
+    from gdal2mbtiles_spark.proj import projection_for_epsg
+
+    W = H = 480
+    GT = (-600_000.0, 2500.0, 0.0, 600_000.0, 0.0, -2500.0)
+    EPSG = 3413
+    proj = projection_for_epsg(EPSG)
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    img = np.zeros((H, W, 4), np.uint8)
+    img[..., 0] = gx % 256
+    img[..., 1] = gy % 256
+    img[..., 2] = (gx // 7 + gy // 11) % 256
+    img[..., 3] = 255
+
+    rows = reproject_to_tiles(
+        spark, blocks_from_array(spark, img), GT, W, H, EPSG,
+        interpolate="near").collect()
+    ok = len(rows) > 0
+    for r in rows:
+        z = int(r["z"])
+        n = 1 << z
+        got = np.frombuffer(bytes(r["px"]), np.uint8).reshape(
+            256, 256, 4)
+        px = int(r["x"]) + (np.arange(256) + 0.5) / 256
+        py = (n - 1 - int(r["y"])) + (np.arange(256) + 0.5) / 256
+        mx, my = np.meshgrid(px, py)
+        lon = mx / n * 360.0 - 180.0
+        lat = np.degrees(np.arctan(np.sinh(
+            _m.pi * (1.0 - 2.0 * my / n))))
+        e, nn = proj.forward(
+            lon.ravel(),
+            np.clip(lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT).ravel())
+        u = (e - GT[0]) / GT[1] - 0.5
+        v = (GT[3] - nn) / 2500.0 - 0.5
+        want = np.zeros((256 * 256, 4), np.uint8)
+        inside = ((u >= -0.5) & (u <= W - 0.5)
+                  & (v >= -0.5) & (v <= H - 0.5))
+        iu = np.clip(np.rint(u).astype(int), 0, W - 1)
+        iv = np.clip(np.rint(v).astype(int), 0, H - 1)
+        want[inside] = img[iv[inside], iu[inside]]
+        if not np.array_equal(got, want.reshape(256, 256, 4)):
+            ok = False
+            break
+    return spark.createDataFrame([(len(rows), bool(ok))],
+                                 "n_tiles bigint, warp_exact_ok boolean")
+
+
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: cell-partitioned broadcast point-in-polygon join."""
     pages = with_geo(synth_pages(spark, PAGES_N))
@@ -384,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tiling + spatial
         "utm_warp": _q_utm_warp,
         "lcc_warp": _q_lcc_warp,
+        "polar_warp": _q_polar_warp,
         "pip_join": _q_pip_join,
         "knn_join": _q_knn,
         "extract_poly_stats": _q_extract,
@@ -506,6 +569,11 @@ def oracle_sql() -> dict[str, str]:
         # Snyder closed forms either); tile count pinned below
         "lcc_warp": """
             SELECT CAST(12 AS BIGINT) AS n_tiles,
+                   TRUE AS warp_exact_ok""",
+        # same contract for the polar family: pole-enclosing 3413
+        # source, 8 z3 tiles (the full top mercator row)
+        "polar_warp": """
+            SELECT CAST(8 AS BIGINT) AS n_tiles,
                    TRUE AS warp_exact_ok""",
         "pip_join": f"""
             WITH {_geo_cte()},

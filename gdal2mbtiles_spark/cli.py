@@ -199,7 +199,8 @@ def load_tiles(spark, args):
                 raise SystemExit(
                     f"EPSG:{epsg} has no closed-form projection "
                     "(supported: UTM 326xx/327xx, ETRS89 UTM 258xx, "
-                    "LCC 2154/3347/26985)")
+                    "LCC 2154/3347/26985, polar stereo "
+                    "3413/3031/3032, Albers 5070)")
             if args.spatial_reference != 3857:
                 raise SystemExit(
                     f"foreign-SRS sources reproject to EPSG:3857 "

@@ -107,14 +107,25 @@ def pick_target_zoom(ground_res_m: float, lat_center: float) -> int:
 
 
 def target_tile_keys(spark: SparkSession, ring_lon: np.ndarray,
-                     ring_lat: np.ndarray, z: int) -> DataFrame:
+                     ring_lat: np.ndarray, z: int,
+                     full_width: bool = False) -> DataFrame:
     """Target XYZ tile keys (tx, ty y-down) intersecting a lon/lat
     boundary ring, +-1 tile of chord margin — the exact scanline
     cover (cells.band_lon_span) distributed over tile ROWS, replacing
     the bbox ``spark.range`` product: an oblique footprint (any LCC,
     off-axis TM) costs O(tiles touched), not O(rows x cols)
     (round-4 VERDICT #5).  Empty extra tiles cost one skipped cover
-    row each, never pixels."""
+    row each, never pixels.
+
+    full_width=True skips the per-band lon scanline and emits every
+    tile column for each latitude band — the pole/antimeridian path
+    (round 5): a footprint that encloses a geographic pole covers all
+    longitudes anyway, and one that crosses the antimeridian has no
+    single [lo, hi] lon interval.  Correctness is unaffected either
+    way (the cover kernel discards tiles whose back-projected window
+    misses the source); the cost is one discarded 16x16 boundary
+    sample per extra tile, acceptable at the moderate zooms polar
+    ground resolutions pick."""
     n = 1 << z
 
     def _ty(lat: float) -> int:
@@ -132,6 +143,15 @@ def target_tile_keys(spark: SparkSession, ring_lon: np.ndarray,
     ex1, ey1 = np.roll(ring_lon, -1), np.roll(ring_lat, -1)
     edy = ey1 - ey0
     ehoriz = edy == 0.0
+
+    def expand_rows_full(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tys = pdf["ty"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {"tx": np.tile(np.arange(n, dtype=np.int64),
+                               len(tys)),
+                 "ty": np.repeat(tys, n)})
 
     def expand_rows(batches: Iterator[pd.DataFrame]
                     ) -> Iterator[pd.DataFrame]:
@@ -167,7 +187,9 @@ def target_tile_keys(spark: SparkSession, ring_lon: np.ndarray,
     return (spark.range(ty0, ty1 + 1,
                         numPartitions=min(parallelism, n_rows))
             .select(F.col("id").alias("ty"))
-            .mapInPandas(expand_rows, schema="tx long, ty long"))
+            .mapInPandas(expand_rows_full if full_width
+                         else expand_rows,
+                         schema="tx long, ty long"))
 
 
 def reproject_utm_to_tiles(spark: SparkSession, blocks: DataFrame,
@@ -192,7 +214,8 @@ def reproject_to_tiles(spark: SparkSession, blocks: DataFrame,
 
     geotransform: GDAL-style (E0, dE, 0, N0, 0, -dN) in CRS metres.
     epsg: any projection_for_epsg-supported code (UTM, ETRS89 UTM,
-    LCC 2154/3347/26985).
+    LCC 2154/3347/26985, polar stereographic 3413/3031/3032, Albers
+    5070).
     interpolate: 'near' (gdalwarp's default) or 'bilinear'."""
     proj = projection_for_epsg(epsg)
     e0, de = float(geotransform[0]), float(geotransform[1])
@@ -206,9 +229,37 @@ def reproject_to_tiles(spark: SparkSession, blocks: DataFrame,
     bpx, bpy = _boundary_ring_px(xsize, ysize)
     ring_lon, ring_lat = proj.inverse(e0 + bpx * de, n0 - bpy * dn)
     ring_lat = np.clip(ring_lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+
+    # pole/antimeridian awareness (round 5, polar CRSes): a source
+    # extent that contains a geographic pole back-projects to a ring
+    # that circles all longitudes (the scanline "polygon" is
+    # meaningless there), and a footprint crossing the antimeridian
+    # has no single lon interval.  Detect both from geometry alone —
+    # pole: does the pole's forward image land inside the source
+    # pixel grid; wrap: ring lons jump by > 180 deg between adjacent
+    # samples or leave [-180, 180].
+    def _pole_inside(sign: float) -> bool:
+        pe, pn = proj.forward(np.array([0.0]),
+                              np.array([sign * 89.999999]))
+        if not (np.isfinite(pe[0]) and np.isfinite(pn[0])):
+            return False
+        fx = (pe[0] - e0) / de
+        fy = (n0 - pn[0]) / dn
+        return 0.0 <= fx <= xsize and 0.0 <= fy <= ysize
+
+    north_in, south_in = _pole_inside(1.0), _pole_inside(-1.0)
+    wraps = (float(np.abs(np.diff(ring_lon)).max()) > 180.0
+             or float(ring_lon.min()) < -180.0
+             or float(ring_lon.max()) > 180.0)
+    if north_in:
+        ring_lat = np.append(ring_lat, MAX_MERCATOR_LAT)
+    if south_in:
+        ring_lat = np.append(ring_lat, -MAX_MERCATOR_LAT)
+
     z = (resolution if resolution is not None
          else pick_target_zoom(de, float(ring_lat.mean())))
-    keys = target_tile_keys(spark, ring_lon, ring_lat, z)
+    keys = target_tile_keys(spark, ring_lon, ring_lat, z,
+                            full_width=north_in or south_in or wraps)
     n = 1 << z
 
     def cover(batches: Iterator[pd.DataFrame]

@@ -266,6 +266,129 @@ class LambertConformalConic:
         return lon, np.degrees(phi)
 
 
+class PolarStereographic:
+    """Polar stereographic, variant B (EPSG method 9829; Snyder 1987
+    eqs 21-33..21-41): standard-parallel form, north or south aspect.
+
+    The sign of ``lat_ts`` selects the aspect.  The south-aspect
+    conformal factor is the north form evaluated at -phi (the identity
+    tan(pi/4 + phi/2) * ((1-e sin phi)/(1+e sin phi))^{e/2}
+    == t_north(-phi)), so one `_t` serves both.  Instances are
+    plain-float containers — they pickle into Spark kernels."""
+
+    def __init__(self, lat_ts: float, lon0: float, fe: float,
+                 fn: float, ell: Ellipsoid = WGS84):
+        self.lon0, self.fe, self.fn, self.ell = lon0, fe, fn, ell
+        self.south = lat_ts < 0.0
+        e = ell.e1
+        pts = math.radians(abs(lat_ts))
+        s = math.sin(pts)
+        self.mc = math.cos(pts) / math.sqrt(1.0 - ell.e2 * s * s)
+        self.tc = (math.tan(math.pi / 4.0 - pts / 2.0)
+                   / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+    def _t_arr(self, phi: np.ndarray) -> np.ndarray:
+        e = self.ell.e1
+        s = np.sin(phi)
+        return (np.tan(math.pi / 4.0 - phi / 2.0)
+                / np.power((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = (self.ell.a * self.mc
+               * self._t_arr(-phi if self.south else phi) / self.tc)
+        x = rho * np.sin(lam)
+        y = rho * np.cos(lam)
+        return (self.fe + x,
+                self.fn + y if self.south else self.fn - y)
+
+    def inverse(self, easting, northing):
+        x = np.asarray(easting, np.float64) - self.fe
+        y = np.asarray(northing, np.float64) - self.fn
+        if not self.south:
+            y = -y
+        rho = np.hypot(x, y)
+        tp = rho * self.tc / (self.ell.a * self.mc)
+        e = self.ell.e1
+        phi = math.pi / 2.0 - 2.0 * np.arctan(tp)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = (math.pi / 2.0 - 2.0 * np.arctan(
+                tp * np.power((1.0 - e * s) / (1.0 + e * s), e / 2.0)))
+        lon = np.degrees(np.arctan2(x, y)) + self.lon0
+        return lon, np.degrees(-phi if self.south else phi)
+
+
+class AlbersEqualArea:
+    """Albers equal-area conic, 2SP (EPSG method 9822; Snyder 1987
+    eqs 14-1..14-21 with the 3-16 latitude series replaced by a
+    Newton iteration on the authalic relation)."""
+
+    def __init__(self, lat0: float, lon0: float, lat1: float,
+                 lat2: float, fe: float, fn: float,
+                 ell: Ellipsoid = GRS80):
+        self.lon0, self.fe, self.fn, self.ell = lon0, fe, fn, ell
+        e, e2 = ell.e1, ell.e2
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(
+                1.0 - e2 * math.sin(phi) ** 2)
+
+        def q(phi):
+            s = math.sin(phi)
+            return (1.0 - e2) * (
+                s / (1.0 - e2 * s * s)
+                - (1.0 / (2.0 * e)) * math.log(
+                    (1.0 - e * s) / (1.0 + e * s)))
+
+        p0, p1, p2 = (math.radians(lat0), math.radians(lat1),
+                      math.radians(lat2))
+        m1, m2 = m(p1), m(p2)
+        q0, q1, q2 = q(p0), q(p1), q(p2)
+        if abs(p1 - p2) > 1e-12:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        else:
+            self.n = math.sin(p1)        # 1SP degeneracy
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = ell.a * math.sqrt(self.C - self.n * q0) / self.n
+
+    def _q_arr(self, phi: np.ndarray) -> np.ndarray:
+        e, e2 = self.ell.e1, self.ell.e2
+        s = np.sin(phi)
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = (self.ell.a
+               * np.sqrt(self.C - self.n * self._q_arr(phi)) / self.n)
+        th = self.n * lam
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, easting, northing):
+        x = np.asarray(easting, np.float64) - self.fe
+        y = self.rho0 - (np.asarray(northing, np.float64) - self.fn)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.hypot(x, y)
+        theta = np.arctan2(sgn * x, sgn * y)
+        lon = np.degrees(theta / self.n) + self.lon0
+        qv = (self.C - (rho * self.n / self.ell.a) ** 2) / self.n
+        e2 = self.ell.e2
+        # Newton on q(phi) = qv: dq/dphi = 2 (1-e2) cos phi
+        #                                  / (1 - e2 sin^2 phi)^2
+        phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            dq = (2.0 * (1.0 - e2) * np.cos(phi)
+                  / (1.0 - e2 * s * s) ** 2)
+            phi = phi + (qv - self._q_arr(phi)) / np.maximum(dq, 1e-12)
+        return lon, np.degrees(phi)
+
+
 # EPSG registry for the non-UTM CRSes the engine accepts natively.
 # Parameters are the published EPSG definitions.
 _LCC_EPSG = {
@@ -283,12 +406,35 @@ _LCC_EPSG = {
 }
 
 
+_POLAR_EPSG = {
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413: dict(lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0, ell=WGS84),
+    # WGS84 / Antarctic Polar Stereographic
+    3031: dict(lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0, ell=WGS84),
+    # WGS84 / Australian Antarctic Polar Stereographic (the EPSG
+    # Guidance Note 7-2 worked-example CRS, pinned in tests)
+    3032: dict(lat_ts=-71.0, lon0=70.0,
+               fe=6_000_000.0, fn=6_000_000.0, ell=WGS84),
+}
+
+_ALBERS_EPSG = {
+    # NAD83 / Conus Albers (USGS national products: NLCD, NED)
+    5070: dict(lat0=23.0, lon0=-96.0, lat1=29.5, lat2=45.5,
+               fe=0.0, fn=0.0, ell=GRS80),
+}
+
+
 def is_lcc_epsg(epsg: int) -> bool:
     return epsg in _LCC_EPSG
 
 
+def is_polar_epsg(epsg: int) -> bool:
+    return epsg in _POLAR_EPSG
+
+
 def is_supported_epsg(epsg: int) -> bool:
     return (is_utm_epsg(epsg) or is_lcc_epsg(epsg)
+            or epsg in _POLAR_EPSG or epsg in _ALBERS_EPSG
             or 25828 <= epsg <= 25838)
 
 
@@ -300,6 +446,8 @@ def projection_for_epsg(epsg: int):
     * 25828-25838 — ETRS89 / UTM (GRS80; frame offset to WGS84 ~cm,
       treated as identical for web-tile output)
     * 2154, 3347, 26985 — Lambert conformal conic 2SP
+    * 3413, 3031, 3032 — polar stereographic variant B
+    * 5070 — Albers equal-area conic (Conus)
     """
     if is_utm_epsg(epsg):
         lon0, fn = utm_params(epsg)
@@ -309,9 +457,14 @@ def projection_for_epsg(epsg: int):
         return TransverseMercator(float(zone * 6 - 183), ell=GRS80)
     if epsg in _LCC_EPSG:
         return LambertConformalConic(**_LCC_EPSG[epsg])
+    if epsg in _POLAR_EPSG:
+        return PolarStereographic(**_POLAR_EPSG[epsg])
+    if epsg in _ALBERS_EPSG:
+        return AlbersEqualArea(**_ALBERS_EPSG[epsg])
     raise ValueError(
         f"EPSG:{epsg} is not natively supported (UTM 326xx/327xx, "
-        "ETRS89 UTM 258xx, LCC 2154/3347/26985)")
+        "ETRS89 UTM 258xx, LCC 2154/3347/26985, polar stereographic "
+        "3413/3031/3032, Albers 5070)")
 
 
 def meridian_arc_numeric(lat_deg: float, steps: int = 200_000) -> float:

@@ -281,6 +281,155 @@ class TestLambertConformalConic:
             projection_for_epsg(27700)
 
 
+class TestPolarStereographic:
+    """EPSG method 9829 (variant B): pinned to the EPSG Guidance Note
+    7-2 worked example, conformality + true-scale invariants, and
+    round-trip identity — no PROJ needed."""
+
+    def test_epsg_guidance_worked_example(self):
+        # EPSG Guidance 7-2, Polar Stereographic variant B example
+        # (EPSG:3032): (120E, 75S) -> E 7255380.79, N 7053389.56
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(3032)
+        e, n = p.forward(np.array([120.0]), np.array([-75.0]))
+        assert e[0] == pytest.approx(7_255_380.79, abs=0.01)
+        assert n[0] == pytest.approx(7_053_389.56, abs=0.01)
+
+    @pytest.mark.parametrize("epsg,lat_ts", [(3413, 70.0),
+                                             (3031, -71.0)])
+    def test_true_scale_on_standard_parallel(self, epsg, lat_ts):
+        # defining property of variant B: parallel-direction scale
+        # == 1 on the standard parallel
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(epsg)
+        d = 5e-7
+        e0, n0 = p.forward(np.array([10.0 - d]), np.array([lat_ts]))
+        e1, n1 = p.forward(np.array([10.0 + d]), np.array([lat_ts]))
+        dist = math.hypot(e1[0] - e0[0], n1[0] - n0[0])
+        phi = math.radians(lat_ts)
+        m = (p.ell.a * math.cos(phi)
+             / math.sqrt(1 - p.ell.e2 * math.sin(phi) ** 2))
+        assert dist / (m * math.radians(2 * d)) == pytest.approx(
+            1.0, abs=1e-7)
+
+    @pytest.mark.parametrize("epsg,lat_c", [(3413, 75.0),
+                                            (3031, -75.0)])
+    def test_conformal(self, epsg, lat_c):
+        # stereographic is conformal: FD scale along a meridian must
+        # equal FD scale along a parallel at the same point
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(epsg)
+        lon_c, d = 33.0, 5e-7
+        phi = math.radians(lat_c)
+        a, e2 = p.ell.a, p.ell.e2
+        mrad = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+        nrad = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+        def fd(dlon, dlat, ds):
+            e0, n0 = p.forward(np.array([lon_c - dlon]),
+                               np.array([lat_c - dlat]))
+            e1, n1 = p.forward(np.array([lon_c + dlon]),
+                               np.array([lat_c + dlat]))
+            return math.hypot(e1[0] - e0[0], n1[0] - n0[0]) / ds
+
+        k_mer = fd(0.0, d, mrad * math.radians(2 * d))
+        k_par = fd(d, 0.0,
+                   nrad * math.cos(phi) * math.radians(2 * d))
+        assert k_mer == pytest.approx(k_par, rel=1e-6)
+
+    @pytest.mark.parametrize("epsg,pole_lat", [(3413, 90.0),
+                                               (3031, -90.0),
+                                               (3032, -90.0)])
+    def test_pole_maps_to_false_origin(self, epsg, pole_lat):
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(epsg)
+        e, n = p.forward(np.array([12.0]),
+                         np.array([pole_lat * (1 - 1e-12)]))
+        assert e[0] == pytest.approx(p.fe, abs=0.1)
+        assert n[0] == pytest.approx(p.fn, abs=0.1)
+
+    def test_north_orientation(self):
+        # EPSG:3413 (lon0 = -45): the lon0 meridian runs toward -y,
+        # lon0+180 toward +y, lon0+90 toward +x
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(3413)
+        e, n = p.forward(np.array([-45.0, 135.0, 45.0]),
+                         np.array([80.0, 80.0, 80.0]))
+        assert abs(e[0]) < 1e-6 and n[0] < 0
+        assert abs(e[1]) < 1e-6 and n[1] > 0
+        assert e[2] > 0 and abs(n[2]) < 1e-6
+
+    @pytest.mark.parametrize("epsg,lat_lo,lat_hi", [
+        (3413, 55.0, 89.9), (3031, -89.9, -55.0),
+        (3032, -89.9, -55.0)])
+    def test_round_trip(self, epsg, lat_lo, lat_hi):
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(epsg)
+        rng = np.random.RandomState(7)
+        lon = rng.uniform(-180.0, 180.0, 3000)
+        lat = rng.uniform(lat_lo, lat_hi, 3000)
+        e, n = p.forward(lon, lat)
+        lon2, lat2 = p.inverse(e, n)
+        dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+
+
+class TestAlbersEqualArea:
+    """EPSG method 9822 (EPSG:5070 Conus Albers): the equal-area
+    Jacobian IS the oracle — |d(E,N)/d(lon,lat)| must equal the
+    ellipsoid area element everywhere — plus true scale on both
+    standard parallels and round-trip identity."""
+
+    @pytest.mark.parametrize("lon_c,lat_c", [
+        (-96.0, 23.0), (-120.0, 45.0), (-75.0, 35.0), (-96.0, 49.0)])
+    def test_area_element_preserved(self, lon_c, lat_c):
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(5070)
+        h = 1e-5
+
+        def f(lo, la):
+            e, n = p.forward(np.array([lo]), np.array([la]))
+            return e[0], n[0]
+
+        x0, y0 = f(lon_c, lat_c)
+        x1, y1 = f(lon_c + h, lat_c)
+        x2, y2 = f(lon_c, lat_c + h)
+        jac = (abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+               / math.radians(h) ** 2)
+        a, e2 = p.ell.a, p.ell.e2
+        s = math.sin(math.radians(lat_c))
+        area_el = (a * a * (1 - e2) * math.cos(math.radians(lat_c))
+                   / (1 - e2 * s * s) ** 2)
+        assert jac / area_el == pytest.approx(1.0, rel=1e-6)
+
+    @pytest.mark.parametrize("lat", [29.5, 45.5])
+    def test_true_scale_on_standard_parallels(self, lat):
+        # parallel-direction scale k = 1 on both standard parallels
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(5070)
+        d = 5e-7
+        e0, n0 = p.forward(np.array([-96.0 - d]), np.array([lat]))
+        e1, n1 = p.forward(np.array([-96.0 + d]), np.array([lat]))
+        dist = math.hypot(e1[0] - e0[0], n1[0] - n0[0])
+        phi = math.radians(lat)
+        m = (p.ell.a * math.cos(phi)
+             / math.sqrt(1 - p.ell.e2 * math.sin(phi) ** 2))
+        assert dist / (m * math.radians(2 * d)) == pytest.approx(
+            1.0, abs=1e-7)
+
+    def test_round_trip(self):
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        p = projection_for_epsg(5070)
+        rng = np.random.RandomState(11)
+        lon = rng.uniform(-125.0, -65.0, 3000)
+        lat = rng.uniform(22.0, 50.0, 3000)
+        e, n = p.forward(lon, lat)
+        lon2, lat2 = p.inverse(e, n)
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+
+
 # an LCC source far east of the central meridian: its footprint is
 # visibly rotated in lon/lat, exercising the oblique-cover path
 LCC_W, LCC_H = 700, 600
@@ -443,3 +592,172 @@ class TestCliBlocks:
              "geotransform": [0, 10, 0, 0, 0, -10]}))
         with pytest.raises(SystemExit, match="closed-form"):
             main([str(desc), "out.mbtiles"])
+
+
+def _img(w, h):
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    img = np.zeros((h, w, 4), np.uint8)
+    img[..., 0] = gx % 256
+    img[..., 1] = gy % 256
+    img[..., 2] = (gx // 7 + gy // 11) % 256
+    img[..., 3] = 255
+    return img
+
+
+def _expected_tile_set(proj, gt, w, h, z):
+    """Brute-force completeness oracle for the target-key path: every
+    XYZ tile (over ALL columns of every candidate row) whose 256x256
+    pixel-center grid maps at least one point inside the source
+    raster.  Independent of the scanline/full-width key logic under
+    test."""
+    n = 1 << z
+    # bound candidate rows by the raster's own lat range (dense
+    # source-pixel sample), +-1 row; columns stay unrestricted so the
+    # oracle is wrap/pole-agnostic
+    sx, sy = np.meshgrid(np.linspace(0, w, 65), np.linspace(0, h, 65))
+    _, slat = proj.inverse(gt[0] + sx.ravel() * gt[1],
+                           gt[3] + sy.ravel() * gt[5])
+    slat = np.clip(slat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+
+    def _ty(lat):
+        rad = math.radians(lat)
+        t = (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad))
+             / math.pi) / 2.0 * n
+        return int(np.clip(math.floor(t), 0, n - 1))
+
+    ty0 = max(_ty(float(slat.max())) - 1, 0)
+    ty1 = min(_ty(float(slat.min())) + 1, n - 1)
+    expected = set()
+    for ty in range(ty0, ty1 + 1):
+        for tx in range(n):
+            px = tx + (np.arange(256) + 0.5) / 256
+            py = ty + (np.arange(256) + 0.5) / 256
+            mx, my = np.meshgrid(px, py)
+            lon = mx / n * 360.0 - 180.0
+            lat = np.degrees(np.arctan(np.sinh(
+                math.pi * (1 - 2 * my / n))))
+            lat_c = np.clip(lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+            e, nn = proj.forward(lon.ravel(), lat_c.ravel())
+            u = (e - gt[0]) / gt[1] - 0.5
+            v = (gt[3] - nn) / (-gt[5]) - 0.5
+            inside = ((u >= -0.5) & (u <= w - 0.5)
+                      & (v >= -0.5) & (v <= h - 0.5)
+                      # exclude pixels whose true lat was clipped:
+                      # they are unrepresentable in the tile grid
+                      & (np.abs(lat.ravel()) <= MAX_MERCATOR_LAT))
+            if inside.any():
+                expected.add((tx, ty))
+    return expected
+
+
+class TestPolarWarp:
+    """Polar-stereographic sources through the distributed warp
+    (round 5): the pole-enclosing footprint wraps every longitude
+    and the off-pole one crosses the antimeridian — both go through
+    the full-width key path, with the same single-machine numpy
+    oracle as the UTM/LCC warps (pixel identity per tile)."""
+
+    def _run(self, spark, gt, w, h, epsg, min_tiles):
+        from gdal2mbtiles_spark.operators.reproject import \
+            reproject_to_tiles
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        img = _img(w, h)
+        proj = projection_for_epsg(epsg)
+        tiles = reproject_to_tiles(
+            spark, blocks_from_array(spark, img), gt, w, h, epsg)
+        rows = tiles.collect()
+        assert len(rows) >= min_tiles
+        z = rows[0]["z"]
+        n = 1 << z
+        lit = 0
+        for r in rows:
+            got = np.frombuffer(bytes(r["px"]), np.uint8).reshape(
+                256, 256, 4)
+            want = _oracle_tile_proj(
+                img, proj, gt, w, h, int(r["x"]),
+                n - 1 - int(r["y"]), z, "near")
+            assert np.array_equal(got, want), (r["x"], r["y"])
+            lit += int((got[..., 3] > 0).sum())
+        return lit, z, rows
+
+    def test_pole_enclosing_footprint(self, spark):
+        # 1200x1200 km NSIDC-north grid centred ON the pole: the
+        # boundary ring circles all longitudes; pre-fix scanline keys
+        # would drop most of the footprint
+        w = h = 480
+        gt = (-600_000.0, 2500.0, 0.0, 600_000.0, 0.0, -2500.0)
+        lit, z, rows = self._run(spark, gt, w, h, 3413, 4)
+        assert lit > 0
+        # completeness: the key path must emit EVERY tile the
+        # footprint touches (the brute-force oracle projects each
+        # candidate tile's full pixel grid; pre-fix scanline keys on
+        # the wrapped ring dropped most longitudes)
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        proj = projection_for_epsg(3413)
+        expected = _expected_tile_set(proj, gt, w, h, z)
+        emitted = {(int(r["x"]), (1 << z) - 1 - int(r["y"]))
+                   for r in rows}
+        assert expected, "oracle found no touched tiles"
+        assert expected <= emitted, expected - emitted
+        # the pole-enclosing footprint touches every column of the
+        # top row
+        assert len({tx for tx, _ in expected}) == (1 << z)
+
+    def test_antimeridian_crossing_footprint(self, spark):
+        # 200x200 km patch at bearing lon ~180 from the 3413 origin:
+        # ring lons leave [-180, 180] (continuous, no jump) — the
+        # wrap detector must still trigger, else the clipped scanline
+        # drops the eastern-hemisphere half
+        w = h = 80
+        gt = (-736_000.0, 2500.0, 0.0, 736_000.0, 0.0, -2500.0)
+        lit, z, rows = self._run(spark, gt, w, h, 3413, 2)
+        assert lit > 0
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        proj = projection_for_epsg(3413)
+        expected = _expected_tile_set(proj, gt, w, h, z)
+        emitted = {(int(r["x"]), (1 << z) - 1 - int(r["y"]))
+                   for r in rows}
+        assert expected and expected <= emitted, expected - emitted
+        # and the touched tiles straddle the antimeridian: columns at
+        # both x extremes of the grid
+        xs = sorted(tx for tx, _ in expected)
+        n = 1 << z
+        assert xs[0] <= 1 and xs[-1] >= n - 2, xs
+
+
+class TestAlbersWarp:
+    def test_matches_single_machine_oracle(self, spark):
+        # Conus Albers source (EPSG:5070) through the generic warp —
+        # the conic footprint is oblique in lon/lat but wrap-free, so
+        # it takes the scanline path with a non-trivial rotation
+        from gdal2mbtiles_spark.operators.reproject import \
+            reproject_to_tiles
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        w, h = 700, 500
+        gt = (-1_900_000.0, 900.0, 0.0, 1_300_000.0, 0.0, -900.0)
+        img = _img(w, h)
+        proj = projection_for_epsg(5070)
+        tiles = reproject_to_tiles(
+            spark, blocks_from_array(spark, img), gt, w, h, 5070,
+            interpolate="bilinear")
+        rows = tiles.collect()
+        assert len(rows) > 4
+        z = rows[0]["z"]
+        n = 1 << z
+        lit = 0
+        for r in rows:
+            got = np.frombuffer(bytes(r["px"]), np.uint8).reshape(
+                256, 256, 4)
+            want = _oracle_tile_proj(
+                img, proj, gt, w, h, int(r["x"]),
+                n - 1 - int(r["y"]), z, "bilinear")
+            assert np.array_equal(got, want), (r["x"], r["y"])
+            lit += int((got[..., 3] > 0).sum())
+        assert lit > 0
+        # completeness against the brute-force key oracle (the lit
+        # target-pixel count itself varies with the mercator/Albers
+        # area ratio across the lat span, so it is no oracle)
+        expected = _expected_tile_set(proj, gt, w, h, z)
+        emitted = {(int(r["x"]), (1 << z) - 1 - int(r["y"]))
+                   for r in rows}
+        assert expected and expected <= emitted, expected - emitted
