@@ -233,10 +233,14 @@ def render_sparse_level(pixels: DataFrame, z: int, renderer,
             if hit is None:
                 for c in range(4):
                     canvas[ly, lx, c] = ch[c][idx]
-                raw = canvas.tobytes()
+                # zero-copy flat view: md5 + encode read the canvas in
+                # place — canvas.tobytes() cost a 512 KB copy (read +
+                # write) per unique tile, pure memory traffic on the
+                # substrate-bandwidth-bound wide legs (PLANS.md §9/10)
+                raw = canvas.reshape(-1).data
                 hx = hashlib.md5(raw).hexdigest()
                 hit = (signed_low64(int(hx, 16)), hx,
-                       renderer.render(raw))
+                       renderer.render(raw, lit_hint=np.unique(ly)))
                 canvas[ly, lx] = 0          # clear only lit pixels
                 if len(cache) >= 200_000:
                     cache.clear()
@@ -375,10 +379,11 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
                 if hit is None:
                     for c in range(4):
                         canvas[ly, lx, c] = ch_u8[c][idx]
-                    raw = canvas.tobytes()
+                    raw = canvas.reshape(-1).data   # zero-copy view
                     hx = hashlib.md5(raw).hexdigest()
                     hit = (signed_low64(int(hx, 16)), hx,
-                           renderer.render(raw))
+                           renderer.render(raw,
+                                           lit_hint=np.unique(ly)))
                     canvas[ly, lx] = 0      # clear only lit pixels
                     if len(cache) >= 200_000:
                         cache.clear()       # bound task memory
@@ -437,11 +442,12 @@ def _render_apex_driver(spark: SparkSession, pixels: DataFrame,
             canvas[:] = 0
             for c in range(4):
                 canvas[ly, lx, c] = ch[c][idx].astype(np.uint8)
-            raw = canvas.tobytes()
+            raw = canvas.reshape(-1).data           # zero-copy view
             hx = hashlib.md5(raw).hexdigest()
             rows.append((lvl, t_x, n - 1 - t_y,
                          signed_low64(int(hx, 16)), hx,
-                         bytearray(renderer.render(raw))))
+                         bytearray(renderer.render(
+                             raw, lit_hint=np.unique(ly)))))
         if lvl > bottom:
             gx, gy, ch = _shrink_sparse(gx, gy, ch)
     return spark.createDataFrame(rows, RENDERED_SCHEMA)

@@ -140,13 +140,21 @@ def _stitched_idat(arr: np.ndarray, lit_rows: np.ndarray,
 
 def encode_png_rgba(raw: bytes, width: int = TILE_SIDE,
                     height: int = TILE_SIDE, compression: int = 6,
-                    interlace: bool = False) -> bytes:
+                    interlace: bool = False,
+                    lit_hint=None) -> bytes:
     """Encode a raw RGBA8 buffer as a deterministic PNG.
 
     compression: zlib level 0-9 (reference renderers.py:119-137 exposes
     the same knob).  interlace=True uses Adam7 — supported for parity
     with the reference's ``interlace`` option via a simple pass
     restructure.
+
+    lit_hint: optional int row indices that are a SUPERSET of the
+    non-zero rows (the caller guarantees every unlisted row is
+    all-zero — the sparse phase kernel knows its painted rows).  The
+    hinted rows are still content-verified here, so the emitted bytes
+    are a pure function of the pixels — identical to the unhinted
+    encode — and the hint only skips the full-canvas ``any`` scan.
     """
     if len(raw) != width * height * 4:
         raise ValueError(
@@ -157,7 +165,13 @@ def encode_png_rgba(raw: bytes, width: int = TILE_SIDE,
         # stitch pre-compressed blank-run deflate segments instead of
         # scanning 256 KB through zlib (content-selected, so identical
         # pixels produce identical bytes from every caller)
-        lit_rows = arr.any(axis=1)
+        if lit_hint is not None and len(lit_hint) < height:
+            lit_rows = np.zeros(height, dtype=bool)
+            if len(lit_hint):
+                lit_rows[np.asarray(lit_hint)] = \
+                    arr[np.asarray(lit_hint)].any(axis=1)
+        else:
+            lit_rows = arr.any(axis=1)
         n_lit = int(lit_rows.sum())
         if 0 < compression and n_lit <= _STITCH_MAX_LIT:
             idat = _stitched_idat(arr, lit_rows, compression)
@@ -324,7 +338,7 @@ class PngRenderer:
         self.png8 = png8
 
     def render(self, raw: bytes, width: int = TILE_SIDE,
-               height: int = TILE_SIDE) -> bytes:
+               height: int = TILE_SIDE, lit_hint=None) -> bytes:
         if self.png8:
             colors = 256 if self.png8 is True else int(self.png8)
             return encode_png8(raw, width=width, height=height,
@@ -332,7 +346,8 @@ class PngRenderer:
                                max_colors=colors)
         return encode_png_rgba(raw, width=width, height=height,
                                compression=self.compression,
-                               interlace=self.interlace)
+                               interlace=self.interlace,
+                               lit_hint=lit_hint)
 
 
 class JpegRenderer:
@@ -356,7 +371,7 @@ class JpegRenderer:
         return arr[:, :, :3].tobytes()
 
     def render(self, raw: bytes, width: int = TILE_SIDE,
-               height: int = TILE_SIDE) -> bytes:
+               height: int = TILE_SIDE, lit_hint=None) -> bytes:
         from .jpeg import encode_jpeg_rgb
         rgb = np.frombuffer(self.strip_alpha(raw, width, height),
                             dtype=np.uint8).reshape(height, width, 3)
