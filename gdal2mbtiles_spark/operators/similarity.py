@@ -52,15 +52,21 @@ def ann_topk_exact(emb: DataFrame, n_queries: int = 20,
                    k: int = 10, dim: int = DIM) -> DataFrame:
     """Exact cosine top-k of every vector for the first ``n_queries``
     vec_ids, excluding self: (query_id, rank, vec_id, score)."""
+    # norms are projected BEFORE the join: inlining all three 64-term
+    # sums into the join consume overflows janino's 64 KB method limit
+    # and silently drops the stage to interpreted eval; the hoisted
+    # norm is the identical left-associated expression, so score bits
+    # (and the oracle hash) are unchanged
     q = (emb.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qv")))
-    v = emb.select("vec_id", F.col("embedding").alias("vv"))
+                 F.col("embedding").alias("qv"))
+         .withColumn("qn", F.expr(_norm_spark("qv", dim))))
+    v = (emb.select("vec_id", F.col("embedding").alias("vv"))
+         .withColumn("vn", F.expr(_norm_spark("vv", dim))))
     cand = v.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id"))
     cos = F.expr(
-        f"({_dot_spark('qv', 'vv', dim)}) / "
-        f"(({_norm_spark('qv', dim)}) * ({_norm_spark('vv', dim)}))")
+        f"({_dot_spark('qv', 'vv', dim)}) / (qn * vn)")
     scored = cand.select("query_id", "vec_id", cos.alias("score"))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
                                           F.col("vec_id"))
@@ -185,22 +191,25 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = 20, k: int = 10,
     recall ~0.9 on the synthetic embeddings."""
     spark = emb.sparkSession
     codes = lsh_codes_udf(spark, n_tables, bits)
-    vb = emb.select("vec_id", "embedding",
-                    codes(F.col("embedding")).alias("codes"))
+    vb = (emb.select("vec_id", "embedding",
+                     codes(F.col("embedding")).alias("codes"))
+          .withColumn("nrm", F.expr(_norm_spark("embedding"))))
     vlong = vb.select(
-        "vec_id", "embedding",
+        "vec_id", "embedding", "nrm",
         F.posexplode("codes").alias("table_idx", "code"))
     qlong = (vlong.where(F.col("vec_id") < n_queries)
              .select(F.col("vec_id").alias("query_id"),
                      F.col("embedding").alias("qv"),
+                     F.col("nrm").alias("qn"),
                      "table_idx", "code"))
     cand = (qlong.join(vlong, ["table_idx", "code"])
             .where(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "qv", "vec_id", "embedding")
+            .select("query_id", "qv", "qn", "vec_id", "embedding",
+                    "nrm")
             .dropDuplicates(["query_id", "vec_id"]))
+    # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
     cos = F.expr(
-        f"({_dot_spark('qv', 'embedding')}) / "
-        f"(({_norm_spark('qv')}) * ({_norm_spark('embedding')}))")
+        f"({_dot_spark('qv', 'embedding')}) / (qn * nrm)")
     scored = cand.select("query_id", "vec_id", cos.alias("score"))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
                                           F.col("vec_id"))
@@ -215,16 +224,18 @@ def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.9,
                             dim: int = DIM) -> DataFrame:
     """Embedding-cosine near-dup pairs within blocks:
     (vec_a, vec_b, score >= tau)."""
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("ea"),
-                   F.col(block_col).alias("_blk"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("eb"),
-                   F.col(block_col).alias("_blk"))
+    a = (emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"),
+                    F.col(block_col).alias("_blk"))
+         .withColumn("na", F.expr(_norm_spark("ea", dim))))
+    b = (emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"),
+                    F.col(block_col).alias("_blk"))
+         .withColumn("nb", F.expr(_norm_spark("eb", dim))))
     pairs = a.join(b, "_blk").where(F.col("vec_a") < F.col("vec_b"))
+    # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
     cos = F.expr(
-        f"({_dot_spark('ea', 'eb', dim)}) / "
-        f"(({_norm_spark('ea', dim)}) * ({_norm_spark('eb', dim)}))")
+        f"({_dot_spark('ea', 'eb', dim)}) / (na * nb)")
     return (pairs.select("vec_a", "vec_b", cos.alias("score"))
             .where(F.col("score") >= tau)
             .select("vec_a", "vec_b",
@@ -249,12 +260,15 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.85,
     codes = lsh_codes_udf(spark, n_tables, bits)
     vlong = (emb.select("vec_id", "embedding",
                         codes(F.col("embedding")).alias("codes"))
-             .select(F.col("vec_id").alias("doc_id"), "embedding",
+             .withColumn("nrm", F.expr(_norm_spark("embedding", dim)))
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.struct("embedding", "nrm").alias("emb_n"),
                      F.posexplode("codes").alias("table_idx", "code")))
-    cos = (f"({_dot_spark('ms[i].embedding', 'ms[j].embedding', dim)})"
-           f" / (({_norm_spark('ms[i].embedding', dim)}) * "
-           f"({_norm_spark('ms[j].embedding', dim)}))")
-    pairs = _grouped_pairs(vlong, ("table_idx", "code"), "embedding",
+    # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
+    dot = _dot_spark("ms[i].emb_n.embedding",
+                     "ms[j].emb_n.embedding", dim)
+    cos = f"({dot}) / (ms[i].emb_n.nrm * ms[j].emb_n.nrm)"
+    pairs = _grouped_pairs(vlong, ("table_idx", "code"), "emb_n",
                            cos, "score", bucket_cap)
     return (pairs.where(F.col("score") >= tau)
             .dropDuplicates(["doc_a", "doc_b"])
