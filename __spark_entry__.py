@@ -269,13 +269,15 @@ def _q_utm_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "n_tiles bigint, warp_exact_ok boolean")
 
 
-def _q_lcc_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5/warp family: Lambert-conformal-conic (EPSG:2154) foreign-SRS
-    reprojection — same pixel-identity contract as utm_warp, driving
-    the round-5 generalized projection engine (proj.py Snyder LCC
-    closed forms + scanline target-key cover).  DuckDB cannot
-    evaluate the LCC forms, so the SQL oracle pins the deterministic
-    tile count and the driver-verified exactness flag."""
+def _warp_gate(spark: SparkSession, epsg: int, W: int, H: int,
+               GT: tuple) -> DataFrame:
+    """Shared driver oracle for the foreign-SRS warp gates: run the
+    distributed inverse-mapping warp on a deterministic gradient
+    source, then recompute EVERY output tile with an independent
+    single-machine numpy nearest-neighbour warp (mercator tile centre
+    -> proj.forward -> source pixel) and compare pixel-exact — the
+    same contract as _q_utm_warp, parameterized over the projection
+    engine's EPSG registry."""
     import math as _m
 
     import numpy as np
@@ -286,10 +288,7 @@ def _q_lcc_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdal2mbtiles_spark.operators.resample import blocks_from_array
     from gdal2mbtiles_spark.proj import projection_for_epsg
 
-    W, H = 700, 600
-    GT = (900000.0, 100.0, 0.0, 6800000.0, 0.0, -100.0)
-    EPSG = 2154
-    proj = projection_for_epsg(EPSG)
+    proj = projection_for_epsg(epsg)
     gx, gy = np.meshgrid(np.arange(W), np.arange(H))
     img = np.zeros((H, W, 4), np.uint8)
     img[..., 0] = gx % 256
@@ -298,7 +297,7 @@ def _q_lcc_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     img[..., 3] = 255
 
     rows = reproject_to_tiles(
-        spark, blocks_from_array(spark, img), GT, W, H, EPSG,
+        spark, blocks_from_array(spark, img), GT, W, H, epsg,
         interpolate="near").collect()
     ok = len(rows) > 0
     for r in rows:
@@ -316,7 +315,7 @@ def _q_lcc_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
             lon.ravel(),
             np.clip(lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT).ravel())
         u = (e - GT[0]) / GT[1] - 0.5
-        v = (GT[3] - nn) / 100.0 - 0.5
+        v = (GT[3] - nn) / (-GT[5]) - 0.5
         want = np.zeros((256 * 256, 4), np.uint8)
         inside = ((u >= -0.5) & (u <= W - 0.5)
                   & (v >= -0.5) & (v <= H - 0.5))
@@ -328,6 +327,17 @@ def _q_lcc_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return spark.createDataFrame([(len(rows), bool(ok))],
                                  "n_tiles bigint, warp_exact_ok boolean")
+
+
+def _q_lcc_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/warp family: Lambert-conformal-conic (EPSG:2154) foreign-SRS
+    reprojection — same pixel-identity contract as utm_warp, driving
+    the round-5 generalized projection engine (proj.py Snyder LCC
+    closed forms + scanline target-key cover).  DuckDB cannot
+    evaluate the LCC forms, so the SQL oracle pins the deterministic
+    tile count and the driver-verified exactness flag."""
+    return _warp_gate(spark, 2154, 700, 600,
+                      (900000.0, 100.0, 0.0, 6800000.0, 0.0, -100.0))
 
 
 def _q_polar_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,58 +348,22 @@ def _q_polar_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wrapped boundary ring requires).  DuckDB cannot evaluate the
     stereographic forms, so the SQL oracle pins the deterministic
     tile count and the driver-verified exactness flag."""
-    import math as _m
+    return _warp_gate(spark, 3413, 480, 480,
+                      (-600_000.0, 2500.0, 0.0, 600_000.0, 0.0,
+                       -2500.0))
 
-    import numpy as np
 
-    from gdal2mbtiles_spark.cells import MAX_MERCATOR_LAT
-    from gdal2mbtiles_spark.operators.reproject import \
-        reproject_to_tiles
-    from gdal2mbtiles_spark.operators.resample import blocks_from_array
-    from gdal2mbtiles_spark.proj import projection_for_epsg
-
-    W = H = 480
-    GT = (-600_000.0, 2500.0, 0.0, 600_000.0, 0.0, -2500.0)
-    EPSG = 3413
-    proj = projection_for_epsg(EPSG)
-    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
-    img = np.zeros((H, W, 4), np.uint8)
-    img[..., 0] = gx % 256
-    img[..., 1] = gy % 256
-    img[..., 2] = (gx // 7 + gy // 11) % 256
-    img[..., 3] = 255
-
-    rows = reproject_to_tiles(
-        spark, blocks_from_array(spark, img), GT, W, H, EPSG,
-        interpolate="near").collect()
-    ok = len(rows) > 0
-    for r in rows:
-        z = int(r["z"])
-        n = 1 << z
-        got = np.frombuffer(bytes(r["px"]), np.uint8).reshape(
-            256, 256, 4)
-        px = int(r["x"]) + (np.arange(256) + 0.5) / 256
-        py = (n - 1 - int(r["y"])) + (np.arange(256) + 0.5) / 256
-        mx, my = np.meshgrid(px, py)
-        lon = mx / n * 360.0 - 180.0
-        lat = np.degrees(np.arctan(np.sinh(
-            _m.pi * (1.0 - 2.0 * my / n))))
-        e, nn = proj.forward(
-            lon.ravel(),
-            np.clip(lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT).ravel())
-        u = (e - GT[0]) / GT[1] - 0.5
-        v = (GT[3] - nn) / 2500.0 - 0.5
-        want = np.zeros((256 * 256, 4), np.uint8)
-        inside = ((u >= -0.5) & (u <= W - 0.5)
-                  & (v >= -0.5) & (v <= H - 0.5))
-        iu = np.clip(np.rint(u).astype(int), 0, W - 1)
-        iv = np.clip(np.rint(v).astype(int), 0, H - 1)
-        want[inside] = img[iv[inside], iu[inside]]
-        if not np.array_equal(got, want.reshape(256, 256, 4)):
-            ok = False
-            break
-    return spark.createDataFrame([(len(rows), bool(ok))],
-                                 "n_tiles bigint, warp_exact_ok boolean")
+def _q_albers_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/warp family: Albers equal-area conic (EPSG:5070, Conus —
+    USGS NLCD/NED grids) foreign-SRS reprojection — the NON-conformal
+    member of the round-5 projection set (Newton inverse on the
+    authalic relation), same pixel-identity contract as the other
+    warp gates.  DuckDB cannot evaluate the Albers forms, so the SQL
+    oracle pins the deterministic tile count and the driver-verified
+    exactness flag."""
+    return _warp_gate(spark, 5070, 500, 500,
+                      (-1_000_000.0, 2000.0, 0.0, 2_600_000.0, 0.0,
+                       -2000.0))
 
 
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utm_warp": _q_utm_warp,
         "lcc_warp": _q_lcc_warp,
         "polar_warp": _q_polar_warp,
+        "albers_warp": _q_albers_warp,
         "pip_join": _q_pip_join,
         "knn_join": _q_knn,
         "extract_poly_stats": _q_extract,
@@ -574,6 +549,11 @@ def oracle_sql() -> dict[str, str]:
         # source, 8 z3 tiles (the full top mercator row)
         "polar_warp": """
             SELECT CAST(8 AS BIGINT) AS n_tiles,
+                   TRUE AS warp_exact_ok""",
+        # same contract for the equal-area family (Albers 5070,
+        # Conus): 9 tiles over the 1000x1000 km central-US source
+        "albers_warp": """
+            SELECT CAST(9 AS BIGINT) AS n_tiles,
                    TRUE AS warp_exact_ok""",
         "pip_join": f"""
             WITH {_geo_cte()},
