@@ -1,0 +1,461 @@
+"""Native Iceberg v2 table layout: metadata, manifests, planning.
+
+The production pages source is an Iceberg table (BASELINE.json
+input_hint); this sandbox has no Iceberg runtime jar, so rounds 1-4
+fell back to a Hive-partitioned Parquet stand-in.  This module closes
+the gap from first principles: it reads (and, for fixtures and the
+pages sink, writes) the PUBLIC Iceberg v2 table spec directly —
+``metadata/vN.metadata.json`` -> snapshot -> manifest list (Avro) ->
+manifests (Avro) -> data-file plan — with the two prunings that make
+Iceberg matter at 10^12 rows:
+
+* **manifest-level**: a manifest whose partition field summaries
+  (lower/upper bounds) exclude the filter value is never opened —
+  O(manifests) metadata reads instead of O(files);
+* **file-level**: a data file whose identity-partition value misses
+  the filter is never handed to Spark — the scan's file list is
+  exact, stronger than directory-listing pruning (no listing at all).
+
+Scan planning is driver-side over kilobytes of metadata (exactly how
+Iceberg itself plans); the data path stays fully distributed —
+``spark.read.parquet(*planned_files)``.  The decoder is
+writer-schema driven (sources/avro.py), so manifests written by real
+Iceberg writers read correctly for the v2 subset used here.  No
+reference-repo counterpart exists (the reference never touches table
+formats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import avro
+
+# ---- Iceberg v2 Avro schemas (spec appendix; subset actually used) ---------
+
+
+def _opt(name: str, typ, fid: int) -> Dict:
+    return {"name": name, "type": ["null", typ], "default": None,
+            "field-id": fid}
+
+
+def _req(name: str, typ, fid: int) -> Dict:
+    return {"name": name, "type": typ, "field-id": fid}
+
+
+_FIELD_SUMMARY = {
+    "type": "record", "name": "field_summary", "fields": [
+        _req("contains_null", "boolean", 509),
+        _opt("contains_nan", "boolean", 518),
+        _opt("lower_bound", "bytes", 510),
+        _opt("upper_bound", "bytes", 511),
+    ]}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        _req("manifest_path", "string", 500),
+        _req("manifest_length", "long", 501),
+        _req("partition_spec_id", "int", 502),
+        _req("content", "int", 517),
+        _req("sequence_number", "long", 515),
+        _req("min_sequence_number", "long", 516),
+        _req("added_snapshot_id", "long", 503),
+        _req("added_files_count", "int", 504),
+        _req("existing_files_count", "int", 505),
+        _req("deleted_files_count", "int", 506),
+        _req("added_rows_count", "long", 512),
+        _req("existing_rows_count", "long", 513),
+        _req("deleted_rows_count", "long", 514),
+        _opt("partitions",
+             {"type": "array", "items": _FIELD_SUMMARY}, 507),
+    ]}
+
+
+def manifest_entry_schema(partition_fields: List[str]) -> Dict:
+    """Manifest-entry schema for an identity partition spec over
+    string-typed source columns (the pages table's lang/ts_bucket)."""
+    part_record = {
+        "type": "record", "name": "r102", "fields": [
+            _opt(name, "string", 1000 + i)
+            for i, name in enumerate(partition_fields)
+        ]}
+    data_file = {
+        "type": "record", "name": "r2", "fields": [
+            _req("content", "int", 134),
+            _req("file_path", "string", 100),
+            _req("file_format", "string", 101),
+            _req("partition", part_record, 102),
+            _req("record_count", "long", 103),
+            _req("file_size_in_bytes", "long", 104),
+        ]}
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            _req("status", "int", 0),
+            _opt("snapshot_id", "long", 1),
+            _opt("sequence_number", "long", 3),
+            _opt("file_sequence_number", "long", 4),
+            _req("data_file", data_file, 2),
+        ]}
+
+
+# ---- table metadata ---------------------------------------------------------
+
+@dataclass
+class PlanStats:
+    """Pruning evidence for a scan plan (asserted in tests and
+    surfaced in PLANS.md)."""
+    manifests_total: int = 0
+    manifests_opened: int = 0
+    files_total: int = 0
+    files_planned: int = 0
+    planned: List[str] = field(default_factory=list)
+
+
+class IcebergTable:
+    """Read-side handle on an Iceberg v2 table directory."""
+
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        meta_dir = os.path.join(self.path, "metadata")
+        if not os.path.isdir(meta_dir):
+            raise FileNotFoundError(
+                f"not an Iceberg table (no metadata/): {path}")
+        hint = os.path.join(meta_dir, "version-hint.text")
+        version = None
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                version = int(fh.read().strip())
+        else:
+            versions = [int(f[1:].split(".")[0])
+                        for f in os.listdir(meta_dir)
+                        if f.startswith("v")
+                        and f.endswith(".metadata.json")]
+            if not versions:
+                raise FileNotFoundError(
+                    f"no vN.metadata.json under {meta_dir}")
+            version = max(versions)
+        self.version = version
+        with open(os.path.join(meta_dir,
+                               f"v{version}.metadata.json")) as fh:
+            self.metadata = json.load(fh)
+        specs = {s["spec-id"]: s
+                 for s in self.metadata.get("partition-specs", [])}
+        spec = specs.get(self.metadata.get("default-spec-id", 0),
+                         {"fields": []})
+        self.partition_fields = [f["name"] for f in spec["fields"]]
+
+    # -- snapshots ------------------------------------------------------------
+
+    def snapshots(self) -> List[Dict]:
+        return self.metadata.get("snapshots", [])
+
+    def snapshot(self, snapshot_id: Optional[int] = None) -> Dict:
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(f"table has no snapshots: {self.path}")
+        if snapshot_id is None:
+            snapshot_id = self.metadata["current-snapshot-id"]
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise ValueError(f"unknown snapshot-id {snapshot_id}")
+
+    def _resolve(self, p: str) -> str:
+        """Manifest/data paths are absolute in the spec; tolerate
+        table-relative paths for relocated fixtures."""
+        if os.path.isabs(p) and os.path.exists(p):
+            return p
+        rel = p
+        loc = self.metadata.get("location", self.path).rstrip("/")
+        if p.startswith(loc + "/"):
+            rel = p[len(loc) + 1:]
+        return os.path.join(self.path, rel)
+
+    # -- scan planning --------------------------------------------------------
+
+    def plan_files(self, snapshot_id: Optional[int] = None,
+                   filters: Optional[Dict[str, str]] = None
+                   ) -> Tuple[List[str], PlanStats]:
+        """Data-file plan for a snapshot under equality ``filters``
+        on identity partition columns, with manifest- and file-level
+        pruning.  Unknown filter columns are ignored here (they still
+        filter rows in the caller's DataFrame plan — pruning is an
+        optimization, never a semantic)."""
+        filters = {k: v for k, v in (filters or {}).items()
+                   if k in self.partition_fields}
+        snap = self.snapshot(snapshot_id)
+        stats = PlanStats()
+        mlist = self._resolve(snap["manifest-list"])
+        for mf in avro.read_container(mlist):
+            stats.manifests_total += 1
+            if not self._manifest_may_match(mf, filters):
+                continue
+            stats.manifests_opened += 1
+            mpath = self._resolve(mf["manifest_path"])
+            for entry in avro.read_container(mpath):
+                if entry["status"] == 2:          # DELETED
+                    continue
+                df_rec = entry["data_file"]
+                stats.files_total += 1
+                part = df_rec.get("partition") or {}
+                if all(part.get(k) == v for k, v in filters.items()):
+                    stats.files_planned += 1
+                    stats.planned.append(
+                        self._resolve(df_rec["file_path"]))
+        return stats.planned, stats
+
+    def _manifest_may_match(self, mf: Dict,
+                            filters: Dict[str, str]) -> bool:
+        """Manifest-level pruning via partition field summaries:
+        conservative — only skips when the bounds PROVE no file in
+        the manifest can match."""
+        if not filters:
+            return True
+        summaries = mf.get("partitions")
+        if not summaries:
+            return True                       # no stats -> must open
+        for i, name in enumerate(self.partition_fields):
+            if name not in filters or i >= len(summaries):
+                continue
+            s = summaries[i]
+            want = filters[name].encode("utf-8")
+            lo, hi = s.get("lower_bound"), s.get("upper_bound")
+            if lo is not None and want < bytes(lo):
+                return False
+            if hi is not None and want > bytes(hi):
+                return False
+        return True
+
+
+# ---- read / write -----------------------------------------------------------
+
+def is_iceberg_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "metadata"))
+
+
+def read_table(spark: SparkSession, path: str,
+               snapshot_id: Optional[int] = None,
+               filters: Optional[Dict[str, str]] = None,
+               columns: Optional[List[str]] = None,
+               with_stats: bool = False):
+    """DataFrame over an Iceberg table's planned data files.
+
+    Planning (metadata + manifests, kilobytes) runs on the driver —
+    exactly Iceberg's own model; the data scan is a plain distributed
+    Parquet read over the PRUNED file list.  Identity-partition
+    source columns live inside the data files (spec behaviour, and
+    write_table keeps it), so no reattachment is needed.  Row-level
+    correctness never depends on pruning: the same equality filters
+    are re-applied to the DataFrame."""
+    table = IcebergTable(path)
+    files, stats = table.plan_files(snapshot_id, filters)
+    if not files:
+        raise ValueError(
+            f"scan plan is empty for filters={filters!r} on {path}")
+    df = spark.read.parquet(*files)
+    for k, v in (filters or {}).items():
+        if k in df.columns:
+            df = df.where(df[k] == v)
+    if columns:
+        df = df.select(*columns)
+    return (df, stats) if with_stats else df
+
+
+def write_table(df: DataFrame, path: str,
+                partition_by: Optional[List[str]] = None,
+                mode: str = "overwrite") -> int:
+    """Materialize ``df`` as an Iceberg v2 table snapshot; returns the
+    new snapshot id.
+
+    mode='overwrite' starts the table over (snapshot 1);
+    mode='append' adds a snapshot whose manifest list carries every
+    prior manifest plus the new one (time travel via
+    ``read_table(snapshot_id=...)``).
+
+    The data write is fully distributed (one Spark parquet write;
+    the identity-partition columns are DUPLICATED into ``_p_<name>``
+    directory keys so the source columns stay inside the data files,
+    as the Iceberg spec requires).  Only the metadata walk — listing
+    the new files and their footer row counts — is driver-side, and
+    it is O(files in this snapshot), the same cost Iceberg's own
+    commit path pays."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    partition_by = partition_by or []
+    path = path.rstrip("/")
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    prev_version = 0
+    prev_meta = None
+    if mode == "append":
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                prev_version = int(fh.read().strip())
+            with open(os.path.join(
+                    meta_dir,
+                    f"v{prev_version}.metadata.json")) as fh:
+                prev_meta = json.load(fh)
+
+    snapshot_id = (max((s["snapshot-id"] for s in
+                        (prev_meta or {}).get("snapshots", [])),
+                       default=0) + 1)
+    seq = snapshot_id
+
+    # -- data: one distributed write into a per-snapshot directory
+    out = df
+    for name in partition_by:
+        out = out.withColumn(f"_p_{name}", F.col(name))
+    data_dir = os.path.join(path, "data", f"snap-{snapshot_id}")
+    (out.write.partitionBy([f"_p_{n}" for n in partition_by])
+        .mode("overwrite").parquet(data_dir))
+
+    # -- manifest: walk the new files (driver-side metadata, O(files))
+    entries = []
+    for root, _dirs, names in os.walk(data_dir):
+        rel = os.path.relpath(root, data_dir)
+        part = {}
+        for seg in ([] if rel == "." else rel.split(os.sep)):
+            key, _, val = seg.partition("=")
+            if key.startswith("_p_"):
+                # Spark URL-encodes special chars in partition dirs;
+                # the manifest stores the DECODED value
+                from urllib.parse import unquote
+                part[key[3:]] = unquote(val)
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, name)
+            entries.append({
+                "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(fpath),
+                    "file_format": "PARQUET",
+                    "partition": {n: part.get(n)
+                                  for n in partition_by},
+                    "record_count":
+                        pq.ParquetFile(fpath).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                }})
+    entries.sort(key=lambda e: e["data_file"]["file_path"])
+
+    mpath = os.path.join(meta_dir,
+                         f"manifest-{snapshot_id}.avro")
+    avro.write_container(mpath, manifest_entry_schema(partition_by),
+                         entries)
+
+    def _summaries(es):
+        out_s = []
+        for i, name in enumerate(partition_by):
+            vals = [e["data_file"]["partition"].get(name)
+                    for e in es]
+            known = [v.encode("utf-8") for v in vals
+                     if v is not None]
+            out_s.append({
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": min(known) if known else None,
+                "upper_bound": max(known) if known else None,
+            })
+        return out_s
+
+    new_manifest = {
+        "manifest_path": os.path.abspath(mpath),
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"]
+                                for e in entries),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": _summaries(entries),
+    }
+    prior_manifests = []
+    if prev_meta is not None:
+        prev_snap = [s for s in prev_meta.get("snapshots", [])
+                     if s["snapshot-id"]
+                     == prev_meta.get("current-snapshot-id")]
+        if prev_snap:
+            prior_manifests = list(avro.read_container(
+                prev_snap[0]["manifest-list"]))
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
+    avro.write_container(mlist_path, MANIFEST_LIST_SCHEMA,
+                         prior_manifests + [new_manifest])
+
+    # -- table metadata (v2 JSON)
+    ice_fields = []
+    for i, f_ in enumerate(df.schema.fields):
+        ice_fields.append({
+            "id": i + 1, "name": f_.name, "required": False,
+            "type": _iceberg_type(f_.dataType.simpleString())})
+    snap_rec = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    snapshots = ((prev_meta or {}).get("snapshots", [])
+                 + [snap_rec])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": os.path.abspath(path),
+        "last-sequence-number": seq,
+        "last-updated-ms": snap_rec["timestamp-ms"],
+        "last-column-id": len(ice_fields),
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": ice_fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{
+            "spec-id": 0,
+            "fields": [{"name": n, "transform": "identity",
+                        "source-id": _source_id(ice_fields, n),
+                        "field-id": 1000 + i}
+                       for i, n in enumerate(partition_by)]}],
+        "last-partition-id": 999 + len(partition_by),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+    }
+    version = prev_version + 1
+    with open(os.path.join(meta_dir,
+                           f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"),
+              "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
+def _source_id(fields: List[Dict], name: str) -> int:
+    for f_ in fields:
+        if f_["name"] == name:
+            return f_["id"]
+    raise ValueError(f"partition column {name!r} not in schema")
+
+
+_TYPE_MAP = {"string": "string", "bigint": "long", "int": "int",
+             "double": "double", "float": "float",
+             "boolean": "boolean", "binary": "binary",
+             "timestamp": "timestamptz", "date": "date"}
+
+
+def _iceberg_type(spark_type: str) -> str:
+    return _TYPE_MAP.get(spark_type, "string")

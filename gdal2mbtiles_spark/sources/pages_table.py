@@ -43,6 +43,21 @@ def write_partitioned_pages(df: DataFrame, path: str,
      .write.partitionBy("lang", "ts_bucket").mode(mode).parquet(path))
 
 
+def write_iceberg_pages(df: DataFrame, path: str,
+                        mode: str = "overwrite") -> int:
+    """Materialize the pages table as a NATIVE Iceberg v2 table
+    (sources/iceberg.py — metadata.json + Avro manifests, no runtime
+    jar) identity-partitioned by (lang, ts_bucket); returns the new
+    snapshot id.  The Hive-partitioned write_partitioned_pages stays
+    as the plain-Parquet stand-in."""
+    from .iceberg import write_table
+    out = df.withColumn("ts_bucket",
+                        F.date_format("warc_ts", "yyyy-MM"))
+    return write_table(out, path,
+                       partition_by=["lang", "ts_bucket"],
+                       mode=mode)
+
+
 def load_pages(spark: SparkSession, path_or_table: str,
                columns: Optional[list] = None,
                lang: Optional[str] = None,
@@ -63,6 +78,21 @@ def load_pages(spark: SparkSession, path_or_table: str,
         except Exception:
             df = None
     if df is None:
+        from .iceberg import is_iceberg_table, read_table
+        if is_iceberg_table(path_or_table):
+            # native Iceberg v2 metadata walk (round 5): manifest- and
+            # file-level pruning from the table's own Avro manifests —
+            # no runtime jar needed; the equality filters are ALSO
+            # re-applied row-level inside read_table, so pruning is
+            # never load-bearing for correctness
+            filters = {}
+            if lang is not None:
+                filters["lang"] = lang
+            if ts_bucket is not None:
+                filters["ts_bucket"] = ts_bucket
+            df = read_table(spark, path_or_table, filters=filters,
+                            columns=columns or None)
+            return df
         df = spark.read.parquet(path_or_table)
     if lang is not None:
         df = df.where(df["lang"] == lang)

@@ -1,0 +1,253 @@
+"""Native Iceberg v2 read/write path (sources/avro.py,
+sources/iceberg.py): container codec round-trips, scan planning with
+manifest- and file-level pruning, snapshot time travel, and the
+pages-table loader integration.
+
+The fixtures are written by this repo's own writer — both sides
+follow the PUBLIC Avro 1.11 / Iceberg v2 specs (same discipline as
+the JPEG/PNG/MBTiles codecs: self-encoded fixtures + spec framing
+checks like magic bytes, sync markers and codec names asserted
+explicitly so a round-trip cannot silently agree on a private
+dialect)."""
+
+import datetime
+import io
+import json
+import os
+import zlib
+
+import pytest
+
+from gdal2mbtiles_spark.sources import avro
+from gdal2mbtiles_spark.sources.iceberg import (
+    MANIFEST_LIST_SCHEMA, IcebergTable, manifest_entry_schema,
+    read_table, write_table)
+
+REC_SCHEMA = {
+    "type": "record", "name": "rec", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": ["null", "bytes"], "default": None},
+        {"name": "d", "type": {"type": "array", "items": "long"}},
+        {"name": "e", "type": {"type": "map", "values": "string"}},
+        {"name": "f", "type": "boolean"},
+        {"name": "g", "type": "double"},
+    ]}
+
+
+def _recs(n):
+    return [{"a": i - 5, "b": f"s{i}" * (i % 3),
+             "c": None if i % 2 else bytes([i % 256, 255]),
+             "d": list(range(i % 4)),
+             "e": {f"k{j}": f"v{j}" for j in range(i % 3)},
+             "f": i % 3 == 0, "g": i * 0.5 - 3.25}
+            for i in range(n)]
+
+
+class TestAvroContainer:
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_round_trip(self, tmp_path, codec):
+        path = str(tmp_path / f"t_{codec}.avro")
+        recs = _recs(37)
+        avro.write_container(path, REC_SCHEMA, recs, codec=codec,
+                             records_per_block=10)
+        assert list(avro.read_container(path)) == recs
+        assert avro.container_schema(path) == REC_SCHEMA
+
+    def test_spec_framing(self, tmp_path):
+        # not a self-agreement check: magic, metadata map layout,
+        # codec name and sync-marker repetition are asserted against
+        # the published container spec byte-for-byte
+        path = str(tmp_path / "f.avro")
+        avro.write_container(path, REC_SCHEMA, _recs(3),
+                             codec="deflate")
+        raw = open(path, "rb").read()
+        assert raw[:4] == b"Obj\x01"
+        src = io.BytesIO(raw[4:])
+        meta = avro.decode_value(
+            src, {"type": "map", "values": "bytes"})
+        assert meta["avro.codec"] == b"deflate"
+        assert json.loads(meta["avro.schema"]) == REC_SCHEMA
+        sync = src.read(16)
+        assert len(sync) == 16 and raw.endswith(sync)
+        # block payload is RAW deflate (RFC-1951, no zlib header)
+        n = avro.read_long(src)
+        size = avro.read_long(src)
+        body = src.read(size)
+        assert n == 3
+        assert zlib.decompress(body, -15)      # raises if zlib-wrapped
+
+    def test_zigzag_longs(self):
+        for n in (0, -1, 1, 63, -64, 2**40, -(2**40), 2**62,
+                  -(2**62)):
+            buf = bytearray()
+            avro.write_long(buf, n)
+            assert avro.read_long(io.BytesIO(bytes(buf))) == n
+
+    def test_sync_marker_corruption_detected(self, tmp_path):
+        path = str(tmp_path / "c.avro")
+        avro.write_container(path, REC_SCHEMA, _recs(5),
+                             codec="null")
+        raw = bytearray(open(path, "rb").read())
+        raw[-1] ^= 0xFF                       # clobber trailing sync
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="sync"):
+            list(avro.read_container(path))
+
+    def test_manifest_schemas_round_trip(self, tmp_path):
+        # the actual Iceberg schemas used by the planner
+        path = str(tmp_path / "ml.avro")
+        mf = {"manifest_path": "/x/m1.avro", "manifest_length": 123,
+              "partition_spec_id": 0, "content": 0,
+              "sequence_number": 1, "min_sequence_number": 1,
+              "added_snapshot_id": 1, "added_files_count": 2,
+              "existing_files_count": 0, "deleted_files_count": 0,
+              "added_rows_count": 10, "existing_rows_count": 0,
+              "deleted_rows_count": 0,
+              "partitions": [
+                  {"contains_null": False, "contains_nan": None,
+                   "lower_bound": b"de", "upper_bound": b"en"}]}
+        avro.write_container(path, MANIFEST_LIST_SCHEMA, [mf])
+        assert list(avro.read_container(path)) == [mf]
+
+        epath = str(tmp_path / "me.avro")
+        entry = {"status": 1, "snapshot_id": 1,
+                 "sequence_number": 1, "file_sequence_number": 1,
+                 "data_file": {
+                     "content": 0, "file_path": "/x/d.parquet",
+                     "file_format": "PARQUET",
+                     "partition": {"lang": "en",
+                                   "ts_bucket": "2025-01"},
+                     "record_count": 5,
+                     "file_size_in_bytes": 999}}
+        schema = manifest_entry_schema(["lang", "ts_bucket"])
+        avro.write_container(epath, schema, [entry])
+        assert list(avro.read_container(epath)) == [entry]
+
+
+def _pages(spark, langs=("en", "de", "fr"), rows_per=40):
+    data = []
+    for li, lang in enumerate(langs):
+        for i in range(rows_per):
+            month = 1 + (i % 2)
+            data.append((
+                f"https://{lang}.example/{i}",
+                datetime.datetime(2025, month, 3, 12, 0, 0),
+                bytes([li, i % 256]),
+                f"text {lang} {i}",
+                lang))
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+
+
+class TestIcebergTable:
+    def test_write_read_round_trip(self, spark, tmp_path):
+        df = _pages(spark)
+        path = str(tmp_path / "t1")
+        snap = write_table(df, path,
+                           partition_by=["lang"], mode="overwrite")
+        assert snap == 1
+        got = read_table(spark, path)
+        assert sorted(r["url"] for r in got.collect()) == \
+            sorted(r["url"] for r in df.collect())
+        # identity-partition source column survives INSIDE data files
+        assert "lang" in got.columns
+
+    def test_file_level_pruning(self, spark, tmp_path):
+        df = _pages(spark)
+        path = str(tmp_path / "t2")
+        write_table(df, path, partition_by=["lang"])
+        got, stats = read_table(spark, path,
+                                filters={"lang": "de"},
+                                with_stats=True)
+        rows = got.collect()
+        assert len(rows) == 40
+        assert all(r["lang"] == "de" for r in rows)
+        # the PLAN itself excluded non-de files — not just row filters
+        assert stats.files_planned < stats.files_total
+        assert all("_p_lang=de" in f for f in stats.planned)
+
+    def test_manifest_level_pruning(self, spark, tmp_path):
+        # two snapshots with DISJOINT lang ranges: the second
+        # snapshot's scan for a lang outside a manifest's
+        # [lower, upper] bounds must not even open that manifest
+        path = str(tmp_path / "t3")
+        write_table(_pages(spark, langs=("aa", "ab")), path,
+                    partition_by=["lang"], mode="overwrite")
+        write_table(_pages(spark, langs=("zy", "zz")), path,
+                    partition_by=["lang"], mode="append")
+        table = IcebergTable(path)
+        files, stats = table.plan_files(filters={"lang": "zz"})
+        assert stats.manifests_total == 2
+        assert stats.manifests_opened == 1     # 'aa-ab' never opened
+        assert files and all("_p_lang=zz" in f for f in files)
+
+    def test_snapshot_time_travel(self, spark, tmp_path):
+        path = str(tmp_path / "t4")
+        s1 = write_table(_pages(spark, langs=("en",)), path,
+                         partition_by=["lang"], mode="overwrite")
+        s2 = write_table(_pages(spark, langs=("de",)), path,
+                         partition_by=["lang"], mode="append")
+        assert (s1, s2) == (1, 2)
+        cur = read_table(spark, path)
+        assert cur.count() == 80               # union of snapshots
+        old = read_table(spark, path, snapshot_id=s1)
+        assert old.count() == 40
+        assert {r["lang"] for r in old.select("lang")
+                .distinct().collect()} == {"en"}
+
+    def test_unknown_snapshot_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t5")
+        write_table(_pages(spark, langs=("en",)), path,
+                    partition_by=["lang"])
+        with pytest.raises(ValueError, match="snapshot"):
+            IcebergTable(path).snapshot(999)
+
+    def test_metadata_json_shape(self, spark, tmp_path):
+        path = str(tmp_path / "t6")
+        write_table(_pages(spark, langs=("en",)), path,
+                    partition_by=["lang"])
+        meta = json.load(open(
+            os.path.join(path, "metadata", "v1.metadata.json")))
+        assert meta["format-version"] == 2
+        assert meta["current-snapshot-id"] == 1
+        spec = meta["partition-specs"][0]["fields"][0]
+        assert spec["transform"] == "identity"
+        assert spec["name"] == "lang"
+        names = [f["name"] for f in meta["schemas"][0]["fields"]]
+        assert names == ["url", "warc_ts", "html", "text", "lang"]
+
+
+class TestPagesLoaderIntegration:
+    def test_load_pages_native_iceberg(self, spark, tmp_path):
+        from gdal2mbtiles_spark.sources.pages_table import (
+            load_pages, write_iceberg_pages)
+        df = _pages(spark)
+        path = str(tmp_path / "pages_ice")
+        write_iceberg_pages(df, path)
+        got = load_pages(spark, path, lang="en",
+                         ts_bucket="2025-01",
+                         columns=["url", "text", "lang"])
+        rows = got.collect()
+        assert rows and all(r["lang"] == "en" for r in rows)
+        assert got.columns == ["url", "text", "lang"]
+        # byte-identical text per url against the source (the
+        # input_hint per-row invariant, through the Iceberg path)
+        src = {r["url"]: r["text"] for r in df.where(
+            "lang = 'en'").collect()}
+        for r in rows:
+            assert src[r["url"]] == r["text"]
+
+    def test_load_pages_prunes_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from gdal2mbtiles_spark.sources.pages_table import (
+            load_pages, write_iceberg_pages)
+        path = str(tmp_path / "pages_ice2")
+        write_iceberg_pages(_pages(spark), path)
+        got = load_pages(spark, path, lang="de")
+        scanned = {r[0] for r in got.select(
+            F.input_file_name()).distinct().collect()}
+        assert scanned
+        assert all("_p_lang=de" in f for f in scanned)
