@@ -33,7 +33,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-EXEC_CORES = 4
+# cores per executor; override with SPARK_GRAFT_EXEC_CORES=2 to run
+# a ratio whose BOTH legs stay inside the box's unsaturated
+# memory-bandwidth region (BENCH/BASELINE.md substrate analysis):
+# 1x2 vs 4x2 occupies ~4 vs ~16 busy procs
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
 
 
 def run_leg(n_execs: int, sf_dir: str, repeats: int,
@@ -112,7 +116,9 @@ def main():
                "eff_median": round(eff, 3), "low": low, "high": high}
         rnd = os.environ.get("SPARK_GRAFT_SCALING_ROUND", "r5")
         path = os.path.join(REPO, "BENCH",
-                            f"scaling_{rnd}_base{base}.json")
+                            f"scaling_{rnd}_base{base}"
+                            + (f"_c{EXEC_CORES}" if EXEC_CORES != 4
+                               else "") + ".json")
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1)
         print(json.dumps({"eff_median": round(eff, 3),

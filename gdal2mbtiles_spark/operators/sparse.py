@@ -553,6 +553,7 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         for part in apex_parts[1:]:
             apex = apex.unionByName(part)
         rendered_parts.append(apex.localCheckpoint(eager=False))
+    t_prof = _prof("apex_parts_built", t_prof)
 
     rendered = rendered_parts[0]
     for part in rendered_parts[1:]:
