@@ -189,6 +189,22 @@ def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact bigint, recall_ok boolean")
 
 
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same driver-verified recall contract for the IVF scale path
+    (coarse spherical-k-means quantizer + nprobe cluster probing,
+    operators/similarity.py::ann_topk_ivf): DuckDB recomputes the
+    exact side and pins the floor as a literal TRUE; a quantizer or
+    probe regression flips recall_ok and reddens the row."""
+    emb = _emb(spark, sf_dir)
+    exact = _sim.ann_topk_exact(emb).select("query_id", "vec_id")
+    ivf = _sim.ann_topk_ivf(emb).select("query_id", "vec_id")
+    n_exact = exact.count()
+    n_hit = exact.join(ivf, ["query_id", "vec_id"]).count()
+    return spark.createDataFrame(
+        [(n_exact, bool(n_hit >= RECALL_FLOOR * n_exact))],
+        "n_exact bigint, recall_ok boolean")
+
+
 def _q_embedding_neardup_lsh_recall(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Same driver-verified recall contract for the LSH-bucketed
@@ -409,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), tau=0.3),
         "embedding_neardup_lsh": _q_embedding_neardup_lsh_recall,
         "ann_topk_lsh": _q_ann_lsh_recall,
+        "ann_topk_ivf": _q_ann_ivf_recall,
         # text analysis (documents table)
         "token_counts": lambda s, d: _text.token_counts(_docs(s, d)),
         "lang_id": lambda s, d: _text.lang_id(_docs(s, d)),
@@ -476,6 +493,10 @@ def oracle_sql() -> dict[str, str]:
         # check — DuckDB recomputes the EXACT side; recall_ok is the
         # literal floor assertion the Spark side must have met
         "ann_topk_lsh": f"""
+            WITH exact AS ({_sim.ann_topk_exact_sql()})
+            SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok
+            FROM exact""",
+        "ann_topk_ivf": f"""
             WITH exact AS ({_sim.ann_topk_exact_sql()})
             SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok
             FROM exact""",

@@ -219,6 +219,121 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = 20, k: int = 10,
                     F.round("score", 6).alias("score")))
 
 
+def _kmeans_spherical(sample: np.ndarray, k: int,
+                      iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample:
+    row-normalized Lloyd iterations under cosine, init = first ``k``
+    rows of the vec_id-sorted sample, empty clusters re-seeded with
+    the point worst-covered by the current centroids.  No RNG — the
+    same sample always yields the same centroids (gate hashes depend
+    on it)."""
+    x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    k = min(k, len(x))
+    cent = x[:k].copy()
+    for _ in range(iters):
+        sims = x @ cent.T                      # (n, k)
+        assign = np.argmax(sims, axis=1)
+        coverage = sims.max(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+            else:
+                v = x[int(np.argmin(coverage))]
+            n = np.linalg.norm(v)
+            cent[c] = v / n if n > 0 else v
+    return cent
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                  sample_cap: int = 2048, iters: int = 8,
+                  sample_stride: Optional[int] = None,
+                  dim: int = DIM) -> np.ndarray:
+    """Train the IVF coarse quantizer on a BOUNDED deterministic
+    sample.  The sample predicate is pmod(xxhash64(vec_id), stride)=0
+    — pushdown-friendly, order-independent — with stride derived from
+    a partial-scan row estimate (operators.spatial.estimate_count:
+    runJob over <=16 partitions, never a full pass; the kNN auto-res
+    lesson, round-4 VERDICT #2).  The collected sample is sorted by
+    vec_id and truncated to ``sample_cap`` so the training set — and
+    therefore the centroids and every downstream gate hash — is a
+    pure function of the table contents."""
+    from .spatial import estimate_count
+    if sample_stride is None:
+        n_est = estimate_count(emb)
+        sample_stride = max(1, int(round(n_est / sample_cap)))
+    rows = (emb.where(F.pmod(F.xxhash64(F.col("vec_id")),
+                             F.lit(sample_stride)) == 0)
+            .select("vec_id", "embedding").collect())
+    rows.sort(key=lambda r: r["vec_id"])
+    sample = np.array([r["embedding"] for r in rows[:sample_cap]],
+                      dtype=np.float64)
+    return _kmeans_spherical(sample, n_centroids, iters)
+
+
+def ann_topk_ivf(emb: DataFrame, n_queries: int = 20, k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 dim: int = DIM) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) — the second scale
+    path next to ann_topk_lsh: a coarse spherical-k-means quantizer
+    routes every vector to its nearest centroid (one broadcast matmul
+    per Arrow batch — no shuffle), queries probe their ``nprobe``
+    nearest centroids, and the candidate set is a (query, cluster) x
+    (vector, cluster) equi-join — candidates/query ~ nprobe/n_centroids
+    of the table instead of all of it, then exact cosine rescoring of
+    candidates only (same hoisted-norm Column expression as the LSH
+    path, so scores are bit-identical where both produce a pair).
+
+    Scale notes: centroids are a tiny broadcast (n_centroids x dim
+    floats); the only shuffle is the equi-join on cluster id, whose
+    query side is bounded (n_queries x nprobe rows) and broadcast.
+    n_centroids should grow ~sqrt(n) at scale (IVF convention) so
+    per-cluster candidate lists stay bounded; residual cluster-size
+    skew is task-level only and AQE-splittable."""
+    spark = emb.sparkSession
+    cent = ivf_centroids(emb, n_centroids=n_centroids, dim=dim)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def assign(embedding: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.array(list(embedding), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probes(embedding: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.array(list(embedding), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ c.T
+        npb = min(nprobe, sims.shape[1])
+        order = np.argsort(-sims, axis=1)[:, :npb].astype(np.int32)
+        return pd.Series(list(order))
+
+    v = (emb.select("vec_id", "embedding",
+                    assign(F.col("embedding")).alias("cluster"))
+         .withColumn("nrm", F.expr(_norm_spark("embedding", dim))))
+    q = (emb.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.explode(probes(F.col("embedding"))).alias("cluster"))
+         .withColumn("qn", F.expr(_norm_spark("qv", dim))))
+    cand = (v.join(F.broadcast(q), "cluster")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "vec_id"]))
+    # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
+    cos = F.expr(
+        f"({_dot_spark('qv', 'embedding', dim)}) / (qn * nrm)")
+    scored = cand.select("query_id", "vec_id", cos.alias("score"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                          F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id",
+                    F.round("score", 6).alias("score")))
+
+
 def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.9,
                             block_col: str = "label",
                             dim: int = DIM) -> DataFrame:

@@ -104,3 +104,38 @@ def test_ann_matmul_matches_exact(spark):
     fast = {(r["query_id"], r["rank"], r["vec_id"])
             for r in ann_topk_matmul(emb).collect()}
     assert exact == fast
+
+
+def test_ann_ivf_recall_and_determinism(spark):
+    """IVF scale path (coarse quantizer + nprobe probing): recall@10
+    >= 0.6 vs exact, and the whole pipeline is deterministic — the
+    quantizer trains on a vec_id-sorted hash-stride sample with RNG-
+    free k-means, so two independent runs return identical rows (the
+    correctness gate hashes depend on it)."""
+    import numpy as np
+    from gdal2mbtiles_spark.operators.similarity import (
+        ann_topk_exact, ann_topk_ivf, ivf_centroids)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in ann_topk_exact(emb).collect()}
+    run1 = ann_topk_ivf(emb).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    run2 = ann_topk_ivf(emb).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    c1 = ivf_centroids(emb)
+    c2 = ivf_centroids(emb)
+    assert np.array_equal(c1, c2)
+    # unit-norm centroids (spherical k-means invariant)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ann_ivf_probe_join_is_broadcast(spark):
+    """The cluster equi-join must broadcast the bounded query side —
+    a shuffled join here would move the full vector table on the
+    cluster key for a 20-row probe list."""
+    from gdal2mbtiles_spark.operators.similarity import ann_topk_ivf
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = ann_topk_ivf(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
