@@ -152,6 +152,7 @@ def main():
         lambda: D.simhash_pairs(docs).count())
 
     queries["ann_topk"] = timed(lambda: S.ann_topk_matmul(emb).count())
+    queries["ann_topk_ivf"] = timed(lambda: S.ann_topk_ivf(emb).count())
 
     def _text_suite():
         T.quality_score(docs).count()
