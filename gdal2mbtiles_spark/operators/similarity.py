@@ -311,8 +311,15 @@ def ann_topk_ivf(emb: DataFrame, n_queries: int = 20, k: int = 10,
         order = np.argsort(-sims, axis=1)[:, :npb].astype(np.int32)
         return pd.Series(list(order))
 
-    v = (emb.select("vec_id", "embedding",
-                    assign(F.col("embedding")).alias("cluster"))
+    # coalesce(-1) makes the join key provably non-nullable, so the
+    # equi-join's injected isnotnull(cluster) filter constant-folds
+    # away — without it the assign UDF runs TWICE over the big side
+    # (once for the null filter, once for the projection): two full
+    # matmul passes instead of one
+    v = (emb.select(
+            "vec_id", "embedding",
+            F.coalesce(assign(F.col("embedding")),
+                       F.lit(-1)).alias("cluster"))
          .withColumn("nrm", F.expr(_norm_spark("embedding", dim))))
     q = (emb.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),

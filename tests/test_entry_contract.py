@@ -139,3 +139,7 @@ def test_ann_ivf_probe_join_is_broadcast(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = ann_topk_ivf(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the assign UDF must run ONCE over the big side: the coalesced
+    # non-null join key folds away the injected isnotnull filter that
+    # would otherwise evaluate the matmul UDF a second time
+    assert plan.count("ArrowEvalPython [assign") == 1, plan[:2000]
