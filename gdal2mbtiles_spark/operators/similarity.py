@@ -194,15 +194,23 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = 20, k: int = 10,
     vb = (emb.select("vec_id", "embedding",
                      codes(F.col("embedding")).alias("codes"))
           .withColumn("nrm", F.expr(_norm_spark("embedding"))))
+    # posexplode_OUTER: codes always holds exactly n_tables entries,
+    # so outer/inner explode are identical — but the non-outer form
+    # makes Catalyst infer a pre-explode size(codes)>0 filter that
+    # references the UDF column, planning the codes matmul TWICE per
+    # side (a second full pass over the table at scale)
     vlong = vb.select(
         "vec_id", "embedding", "nrm",
-        F.posexplode("codes").alias("table_idx", "code"))
+        F.posexplode_outer("codes").alias("table_idx", "code"))
     qlong = (vlong.where(F.col("vec_id") < n_queries)
              .select(F.col("vec_id").alias("query_id"),
                      F.col("embedding").alias("qv"),
                      F.col("nrm").alias("qn"),
                      "table_idx", "code"))
-    cand = (qlong.join(vlong, ["table_idx", "code"])
+    # broadcast the BOUNDED side (n_queries x n_tables rows) and
+    # stream the table — without the hint Spark is free to broadcast
+    # the full-table side, which cannot exist at 10^12 rows
+    cand = (vlong.join(F.broadcast(qlong), ["table_idx", "code"])
             .where(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "qv", "qn", "vec_id", "embedding",
                     "nrm")
@@ -385,7 +393,10 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.85,
              .withColumn("nrm", F.expr(_norm_spark("embedding", dim)))
              .select(F.col("vec_id").alias("doc_id"),
                      F.struct("embedding", "nrm").alias("emb_n"),
-                     F.posexplode("codes").alias("table_idx", "code")))
+                     # outer: see ann_topk_lsh — avoids the inferred
+                     # size(codes)>0 filter that doubles the matmul
+                     F.posexplode_outer("codes")
+                     .alias("table_idx", "code")))
     # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
     dot = _dot_spark("ms[i].emb_n.embedding",
                      "ms[j].emb_n.embedding", dim)

@@ -143,3 +143,23 @@ def test_ann_ivf_probe_join_is_broadcast(spark):
     # non-null join key folds away the injected isnotnull filter that
     # would otherwise evaluate the matmul UDF a second time
     assert plan.count("ArrowEvalPython [assign") == 1, plan[:2000]
+
+
+def test_ann_lsh_plan_shape(spark):
+    """LSH scale-path plan invariants: (a) the codes matmul runs once
+    per scan — posexplode_OUTER keeps Catalyst from inferring a
+    pre-explode size(codes)>0 filter that would plan the UDF twice per
+    side; (b) the broadcast build side is the bounded query scan
+    (vec_id < n_queries pushed to parquet), never the full table."""
+    from gdal2mbtiles_spark.operators.similarity import (
+        ann_topk_lsh, embedding_neardup_lsh)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p1 = ann_topk_lsh(emb)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("ArrowEvalPython [codes") == 2, \
+        p1.count("ArrowEvalPython [codes")
+    build = p1[p1.find("BroadcastExchange"):]
+    assert "LessThan(vec_id,20)" in build, build[:1500]
+    p2 = (embedding_neardup_lsh(emb)._jdf.queryExecution()
+          .executedPlan().toString())
+    assert p2.count("ArrowEvalPython [codes") == 1, \
+        p2.count("ArrowEvalPython [codes")
