@@ -115,6 +115,9 @@ class PlanStats:
     files_total: int = 0
     files_planned: int = 0
     planned: List[str] = field(default_factory=list)
+    # v2 row-level deletes discovered in content=1 (delete) manifests
+    position_deletes: List[str] = field(default_factory=list)
+    equality_deletes: List[str] = field(default_factory=list)
 
 
 class IcebergTable:
@@ -194,7 +197,15 @@ class IcebergTable:
         mlist = self._resolve(snap["manifest-list"])
         for mf in avro.read_container(mlist):
             stats.manifests_total += 1
-            if not self._manifest_may_match(mf, filters):
+            # content=1 marks a DELETE manifest (v2 row-level
+            # deletes): its entries are position/equality delete
+            # files, never data.  Delete manifests are opened
+            # unconditionally — partition pruning them needs
+            # spec-scoped summaries we don't track, and a skipped
+            # delete silently resurrects rows (correctness first).
+            is_delete = mf.get("content", 0) == 1
+            if not is_delete and not self._manifest_may_match(
+                    mf, filters):
                 continue
             stats.manifests_opened += 1
             mpath = self._resolve(mf["manifest_path"])
@@ -202,6 +213,18 @@ class IcebergTable:
                 if entry["status"] == 2:          # DELETED
                     continue
                 df_rec = entry["data_file"]
+                fcontent = df_rec.get("content", 0)
+                if is_delete or fcontent != 0:
+                    p = self._resolve(df_rec["file_path"])
+                    if fcontent == 1:
+                        stats.position_deletes.append(p)
+                    elif fcontent == 2:
+                        stats.equality_deletes.append(p)
+                    else:
+                        raise ValueError(
+                            f"delete manifest {mpath} carries a "
+                            f"content=0 (data) file: {p}")
+                    continue
                 stats.files_total += 1
                 part = df_rec.get("partition") or {}
                 if all(part.get(k) == v for k, v in filters.items()):
@@ -258,13 +281,57 @@ def read_table(spark: SparkSession, path: str,
     if not files:
         raise ValueError(
             f"scan plan is empty for filters={filters!r} on {path}")
+    if stats.equality_deletes:
+        raise NotImplementedError(
+            "Iceberg equality deletes are not supported by the "
+            "native reader (position deletes are); read this table "
+            "with the Iceberg runtime jar or compact it first: "
+            + ", ".join(stats.equality_deletes[:3]))
     df = spark.read.parquet(*files)
+    if stats.position_deletes:
+        df = _apply_position_deletes(spark, df,
+                                     stats.position_deletes)
     for k, v in (filters or {}).items():
         if k in df.columns:
             df = df.where(df[k] == v)
     if columns:
         df = df.select(*columns)
     return (df, stats) if with_stats else df
+
+
+def _norm_path(col):
+    """file:/a, file:///a and /a all normalize to /a — the scan's
+    _metadata.file_path is a URI, manifest paths are plain."""
+    from pyspark.sql import functions as F
+    return F.regexp_replace(F.regexp_replace(col, "^file:", ""),
+                            "^/+", "/")
+
+
+def _apply_position_deletes(spark: SparkSession, df: DataFrame,
+                            delete_files: List[str]) -> DataFrame:
+    """Distributed position-delete application: anti-join the scan on
+    (file_path, row ordinal) against the delete rows — the Spark
+    expression of Iceberg's merge-on-read.  `_metadata.row_index` is
+    the parquet row ordinal Iceberg's `pos` refers to, so no per-file
+    driver work is needed; the delete side is typically orders of
+    magnitude smaller than the data and Spark/AQE picks a broadcast
+    anti-join on its own (no hint: at compaction-overdue scale a
+    shuffled anti-join is the right fallback and must stay
+    available).  Position deletes name their target file explicitly,
+    so applying every delete visible in the snapshot is exact for
+    append+delete histories (a delete can only reference files that
+    existed when it was committed); seq-aware filtering for
+    rewrite/compaction flows is out of scope, like equality deletes."""
+    from pyspark.sql import functions as F
+    data = df.withColumns({
+        "_del_file": _norm_path(F.col("_metadata.file_path")),
+        "_del_pos": F.col("_metadata.row_index"),
+    })
+    dels = (spark.read.parquet(*delete_files)
+            .select(_norm_path(F.col("file_path")).alias("_del_file"),
+                    F.col("pos").alias("_del_pos")))
+    return (data.join(dels, ["_del_file", "_del_pos"], "left_anti")
+            .drop("_del_file", "_del_pos"))
 
 
 def write_table(df: DataFrame, path: str,
@@ -440,6 +507,101 @@ def write_table(df: DataFrame, path: str,
         json.dump(meta, fh, indent=1)
     with open(os.path.join(meta_dir, "version-hint.text"),
               "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
+def write_position_deletes(deletes: DataFrame, path: str,
+                           _file_content: int = 1) -> int:
+    """Commit a position-delete snapshot to an existing table written
+    by write_table: ``deletes`` has columns (file_path: string — the
+    absolute data-file path as planned, pos: long — parquet row
+    ordinal), written distributed as the spec's position-delete file
+    layout and registered in a content=1 delete manifest whose
+    manifest list carries every prior manifest (time travel to the
+    pre-delete snapshot keeps the rows).  ``_file_content`` exists so
+    tests can forge an equality-delete (content=2) entry and pin the
+    reader's loud NotImplementedError."""
+    import pyarrow.parquet as pq
+
+    path = path.rstrip("/")
+    meta_dir = os.path.join(path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        prev_version = int(fh.read().strip())
+    with open(os.path.join(
+            meta_dir, f"v{prev_version}.metadata.json")) as fh:
+        prev_meta = json.load(fh)
+
+    snapshot_id = max(s["snapshot-id"]
+                      for s in prev_meta["snapshots"]) + 1
+    seq = snapshot_id
+    del_dir = os.path.join(path, "data", f"deletes-snap-{snapshot_id}")
+    (deletes.select("file_path", "pos")
+     .write.mode("overwrite").parquet(del_dir))
+
+    entries = []
+    for root, _dirs, names in os.walk(del_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            fpath = os.path.join(root, name)
+            entries.append({
+                "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": _file_content,
+                    "file_path": os.path.abspath(fpath),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count":
+                        pq.ParquetFile(fpath).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                }})
+    mpath = os.path.join(meta_dir,
+                         f"manifest-{snapshot_id}-deletes.avro")
+    avro.write_container(mpath, manifest_entry_schema([]), entries)
+
+    cur = [s for s in prev_meta["snapshots"]
+           if s["snapshot-id"] == prev_meta["current-snapshot-id"]]
+    prior_manifests = list(avro.read_container(
+        cur[0]["manifest-list"])) if cur else []
+    new_manifest = {
+        "manifest_path": os.path.abspath(mpath),
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"]
+                                for e in entries),
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": [],
+    }
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
+    avro.write_container(mlist_path, MANIFEST_LIST_SCHEMA,
+                         prior_manifests + [new_manifest])
+
+    snap_rec = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": os.path.abspath(mlist_path),
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+    }
+    meta = dict(prev_meta)
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = snap_rec["timestamp-ms"]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = prev_meta["snapshots"] + [snap_rec]
+    version = prev_version + 1
+    with open(os.path.join(meta_dir,
+                           f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    with open(hint, "w") as fh:
         fh.write(str(version))
     return snapshot_id
 

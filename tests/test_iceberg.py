@@ -21,7 +21,7 @@ import pytest
 from gdal2mbtiles_spark.sources import avro
 from gdal2mbtiles_spark.sources.iceberg import (
     MANIFEST_LIST_SCHEMA, IcebergTable, manifest_entry_schema,
-    read_table, write_table)
+    read_table, write_position_deletes, write_table)
 
 REC_SCHEMA = {
     "type": "record", "name": "rec", "fields": [
@@ -251,3 +251,74 @@ class TestPagesLoaderIntegration:
             F.input_file_name()).distinct().collect()}
         assert scanned
         assert all("_p_lang=de" in f for f in scanned)
+
+
+class TestPositionDeletes:
+    """v2 row-level deletes: content=1 delete manifests must never be
+    read as data, position deletes must drop exactly the named rows
+    (distributed anti-join on _metadata row ordinals), and the
+    pre-delete snapshot must keep them (merge-on-read semantics)."""
+
+    def _table_with_deletes(self, spark, tmp_path, n_drop=3):
+        from pyspark.sql import functions as F
+        path = str(tmp_path / "tdel")
+        write_table(_pages(spark), path, partition_by=["lang"],
+                    mode="overwrite")
+        # pick n_drop concrete (file, pos) targets from the live scan
+        pre, stats = read_table(spark, path, with_stats=True)
+        victims = (pre.select(
+            F.col("url"),
+            F.regexp_replace(F.col("_metadata.file_path"),
+                             "^file:", "").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"))
+            .orderBy("url").limit(n_drop))
+        victim_rows = victims.collect()
+        snap = write_position_deletes(
+            victims.select("file_path", "pos"), path)
+        return path, snap, victim_rows, pre.count()
+
+    def test_position_deletes_drop_exact_rows(self, spark, tmp_path):
+        path, _snap, victims, n_before = self._table_with_deletes(
+            spark, tmp_path)
+        got = read_table(spark, path)
+        urls = [r["url"] for r in got.collect()]
+        assert len(urls) == n_before - len(victims)
+        for v in victims:
+            assert v["url"] not in urls
+
+    def test_pre_delete_snapshot_keeps_rows(self, spark, tmp_path):
+        path, snap, victims, n_before = self._table_with_deletes(
+            spark, tmp_path)
+        old = read_table(spark, path, snapshot_id=snap - 1)
+        assert old.count() == n_before
+        cur, stats = read_table(spark, path, with_stats=True)
+        assert len(stats.position_deletes) >= 1
+        # delete files are never in the DATA plan
+        assert not set(stats.position_deletes) & set(stats.planned)
+
+    def test_deletes_compose_with_partition_pruning(self, spark,
+                                                    tmp_path):
+        path, _snap, victims, _n = self._table_with_deletes(spark,
+                                                            tmp_path)
+        got, stats = read_table(spark, path, filters={"lang": "de"},
+                                with_stats=True)
+        assert stats.files_planned < stats.files_total
+        urls = [r["url"] for r in got.collect()]
+        assert all(u.startswith("https://de.") for u in urls)
+        for v in victims:
+            assert v["url"] not in urls
+
+    def test_equality_deletes_fail_loudly(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        path = str(tmp_path / "teq")
+        write_table(_pages(spark), path, partition_by=["lang"],
+                    mode="overwrite")
+        pre = read_table(spark, path)
+        fake = (pre.limit(1).select(
+            F.regexp_replace(F.col("_metadata.file_path"),
+                             "^file:", "").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos")))
+        write_position_deletes(fake, path, _file_content=2)
+        with _pytest.raises(NotImplementedError):
+            read_table(spark, path)
