@@ -93,6 +93,8 @@ def manifest_entry_schema(partition_fields: List[str]) -> Dict:
             _req("partition", part_record, 102),
             _req("record_count", "long", 103),
             _req("file_size_in_bytes", "long", 104),
+            _opt("equality_ids",
+                 {"type": "array", "items": "int"}, 135),
         ]}
     return {
         "type": "record", "name": "manifest_entry", "fields": [
@@ -117,7 +119,9 @@ class PlanStats:
     planned: List[str] = field(default_factory=list)
     # v2 row-level deletes discovered in content=1 (delete) manifests
     position_deletes: List[str] = field(default_factory=list)
-    equality_deletes: List[str] = field(default_factory=list)
+    equality_deletes: List[Tuple[str, int]] = field(
+        default_factory=list)           # (path, sequence_number)
+    data_seqs: Dict[str, int] = field(default_factory=dict)
 
 
 class IcebergTable:
@@ -214,12 +218,16 @@ class IcebergTable:
                     continue
                 df_rec = entry["data_file"]
                 fcontent = df_rec.get("content", 0)
+                # v2 sequence inheritance: a null entry seq means the
+                # manifest's own sequence_number
+                seq = (entry.get("sequence_number")
+                       or mf.get("sequence_number") or 0)
                 if is_delete or fcontent != 0:
                     p = self._resolve(df_rec["file_path"])
                     if fcontent == 1:
                         stats.position_deletes.append(p)
                     elif fcontent == 2:
-                        stats.equality_deletes.append(p)
+                        stats.equality_deletes.append((p, seq))
                     else:
                         raise ValueError(
                             f"delete manifest {mpath} carries a "
@@ -229,8 +237,9 @@ class IcebergTable:
                 part = df_rec.get("partition") or {}
                 if all(part.get(k) == v for k, v in filters.items()):
                     stats.files_planned += 1
-                    stats.planned.append(
-                        self._resolve(df_rec["file_path"]))
+                    path_ = self._resolve(df_rec["file_path"])
+                    stats.planned.append(path_)
+                    stats.data_seqs[path_] = seq
         return stats.planned, stats
 
     def _manifest_may_match(self, mf: Dict,
@@ -281,16 +290,24 @@ def read_table(spark: SparkSession, path: str,
     if not files:
         raise ValueError(
             f"scan plan is empty for filters={filters!r} on {path}")
-    if stats.equality_deletes:
-        raise NotImplementedError(
-            "Iceberg equality deletes are not supported by the "
-            "native reader (position deletes are); read this table "
-            "with the Iceberg runtime jar or compact it first: "
-            + ", ".join(stats.equality_deletes[:3]))
     df = spark.read.parquet(*files)
-    if stats.position_deletes:
-        df = _apply_position_deletes(spark, df,
-                                     stats.position_deletes)
+    if stats.position_deletes or stats.equality_deletes:
+        from pyspark.sql import functions as F
+        # _metadata is only resolvable on the scan relation itself —
+        # capture the (normalized file, row ordinal) ONCE, apply both
+        # delete kinds against the captured columns, then drop them
+        df = df.withColumns({
+            "_del_file": _norm_path(F.col("_metadata.file_path")),
+            "_del_pos": F.col("_metadata.row_index"),
+        })
+        if stats.position_deletes:
+            df = _apply_position_deletes(spark, df,
+                                         stats.position_deletes)
+        if stats.equality_deletes:
+            df = _apply_equality_deletes(spark, df,
+                                         stats.equality_deletes,
+                                         stats.data_seqs)
+        df = df.drop("_del_file", "_del_pos")
     for k, v in (filters or {}).items():
         if k in df.columns:
             df = df.where(df[k] == v)
@@ -305,6 +322,12 @@ def _norm_path(col):
     from pyspark.sql import functions as F
     return F.regexp_replace(F.regexp_replace(col, "^file:", ""),
                             "^/+", "/")
+
+
+def _norm_path_py(p: str) -> str:
+    """Driver-side twin of _norm_path for dict keys."""
+    import re
+    return re.sub("^/+", "/", re.sub("^file:", "", p))
 
 
 def _apply_position_deletes(spark: SparkSession, df: DataFrame,
@@ -323,15 +346,60 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     existed when it was committed); seq-aware filtering for
     rewrite/compaction flows is out of scope, like equality deletes."""
     from pyspark.sql import functions as F
-    data = df.withColumns({
-        "_del_file": _norm_path(F.col("_metadata.file_path")),
-        "_del_pos": F.col("_metadata.row_index"),
-    })
     dels = (spark.read.parquet(*delete_files)
             .select(_norm_path(F.col("file_path")).alias("_del_file"),
                     F.col("pos").alias("_del_pos")))
-    return (data.join(dels, ["_del_file", "_del_pos"], "left_anti")
-            .drop("_del_file", "_del_pos"))
+    return df.join(dels, ["_del_file", "_del_pos"], "left_anti")
+
+
+def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
+                            eq_deletes: List[Tuple[str, int]],
+                            data_seqs: Dict[str, int]) -> DataFrame:
+    """Distributed equality-delete application with the spec's
+    sequence rule: a delete row removes a data row iff every equality
+    column matches (null-safe) AND the data file's sequence number is
+    STRICTLY below the delete file's — rows appended after the delete
+    survive.  Shape: the (file -> seq) map is a tiny broadcast dim
+    attached via _metadata.file_path; the deletes union (usually far
+    smaller than the data) is the anti-join build side.  Delete files
+    carrying different column sets would need one anti-join per set —
+    unimplemented, loud."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    by_cols: Dict[Tuple[str, ...], List[Tuple[str, int]]] = {}
+    for p, seq in eq_deletes:
+        cols = tuple(sorted(spark.read.parquet(p).columns))
+        by_cols.setdefault(cols, []).append((p, seq))
+    if len(by_cols) > 1:
+        raise NotImplementedError(
+            f"equality-delete files with mixed column sets: "
+            f"{sorted(by_cols)}")
+    cols = next(iter(by_cols))
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"equality-delete columns {missing} not in table columns "
+            f"{df.columns}")
+
+    dels = None
+    for p, seq in eq_deletes:
+        d = (spark.read.parquet(p).select(*cols)
+             .withColumn("_del_seq", F.lit(int(seq))))
+        dels = d if dels is None else dels.unionByName(d)
+    for c in cols:
+        dels = dels.withColumnRenamed(c, f"_eq_{c}")
+
+    files_dim = spark.createDataFrame(
+        [(_norm_path_py(k), int(v)) for k, v in data_seqs.items()],
+        "_del_file string, _data_seq long")
+    data = df.join(F.broadcast(files_dim), "_del_file")
+    cond = functools.reduce(operator.and_, [
+        data[c].eqNullSafe(dels[f"_eq_{c}"]) for c in cols])
+    cond = cond & (data["_data_seq"] < dels["_del_seq"])
+    return data.join(dels, cond, "left_anti").drop("_data_seq")
 
 
 def write_table(df: DataFrame, path: str,
@@ -413,6 +481,7 @@ def write_table(df: DataFrame, path: str,
                     "record_count":
                         pq.ParquetFile(fpath).metadata.num_rows,
                     "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": None,
                 }})
     entries.sort(key=lambda e: e["data_file"]["file_path"])
 
@@ -511,17 +580,43 @@ def write_table(df: DataFrame, path: str,
     return snapshot_id
 
 
-def write_position_deletes(deletes: DataFrame, path: str,
-                           _file_content: int = 1) -> int:
+def write_position_deletes(deletes: DataFrame, path: str) -> int:
     """Commit a position-delete snapshot to an existing table written
     by write_table: ``deletes`` has columns (file_path: string — the
     absolute data-file path as planned, pos: long — parquet row
     ordinal), written distributed as the spec's position-delete file
     layout and registered in a content=1 delete manifest whose
     manifest list carries every prior manifest (time travel to the
-    pre-delete snapshot keeps the rows).  ``_file_content`` exists so
-    tests can forge an equality-delete (content=2) entry and pin the
-    reader's loud NotImplementedError."""
+    pre-delete snapshot keeps the rows)."""
+    return _commit_delete_snapshot(
+        deletes.select("file_path", "pos"), path, file_content=1)
+
+
+def write_equality_deletes(deletes: DataFrame, path: str) -> int:
+    """Commit an equality-delete snapshot: ``deletes`` carries the
+    equality columns' VALUES (any subset of the table columns); a
+    data row is deleted iff all of them match null-safely and the
+    data file predates this snapshot (spec sequence rule — rows
+    appended later survive, which read_table enforces).  The
+    manifest entry records the columns' field ids as equality_ids."""
+    table = IcebergTable(path)
+    schema = table.metadata["schemas"][
+        table.metadata.get("current-schema-id", 0)]
+    ids_by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    missing = [c for c in deletes.columns if c not in ids_by_name]
+    if missing:
+        raise ValueError(
+            f"equality-delete columns {missing} not in table schema "
+            f"{sorted(ids_by_name)}")
+    eq_ids = [ids_by_name[c] for c in deletes.columns]
+    return _commit_delete_snapshot(deletes, path, file_content=2,
+                                   equality_ids=eq_ids)
+
+
+def _commit_delete_snapshot(deletes: DataFrame, path: str,
+                            file_content: int,
+                            equality_ids: Optional[List[int]] = None
+                            ) -> int:
     import pyarrow.parquet as pq
 
     path = path.rstrip("/")
@@ -537,8 +632,7 @@ def write_position_deletes(deletes: DataFrame, path: str,
                       for s in prev_meta["snapshots"]) + 1
     seq = snapshot_id
     del_dir = os.path.join(path, "data", f"deletes-snap-{snapshot_id}")
-    (deletes.select("file_path", "pos")
-     .write.mode("overwrite").parquet(del_dir))
+    deletes.write.mode("overwrite").parquet(del_dir)
 
     entries = []
     for root, _dirs, names in os.walk(del_dir):
@@ -550,13 +644,14 @@ def write_position_deletes(deletes: DataFrame, path: str,
                 "status": 1, "snapshot_id": snapshot_id,
                 "sequence_number": seq, "file_sequence_number": seq,
                 "data_file": {
-                    "content": _file_content,
+                    "content": file_content,
                     "file_path": os.path.abspath(fpath),
                     "file_format": "PARQUET",
                     "partition": {},
                     "record_count":
                         pq.ParquetFile(fpath).metadata.num_rows,
                     "file_size_in_bytes": os.path.getsize(fpath),
+                    "equality_ids": equality_ids,
                 }})
     mpath = os.path.join(meta_dir,
                          f"manifest-{snapshot_id}-deletes.avro")

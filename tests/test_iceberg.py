@@ -21,7 +21,8 @@ import pytest
 from gdal2mbtiles_spark.sources import avro
 from gdal2mbtiles_spark.sources.iceberg import (
     MANIFEST_LIST_SCHEMA, IcebergTable, manifest_entry_schema,
-    read_table, write_position_deletes, write_table)
+    read_table, write_equality_deletes, write_position_deletes,
+    write_table)
 
 REC_SCHEMA = {
     "type": "record", "name": "rec", "fields": [
@@ -119,7 +120,8 @@ class TestAvroContainer:
                      "partition": {"lang": "en",
                                    "ts_bucket": "2025-01"},
                      "record_count": 5,
-                     "file_size_in_bytes": 999}}
+                     "file_size_in_bytes": 999,
+                     "equality_ids": None}}
         schema = manifest_entry_schema(["lang", "ts_bucket"])
         avro.write_container(epath, schema, [entry])
         assert list(avro.read_container(epath)) == [entry]
@@ -308,17 +310,77 @@ class TestPositionDeletes:
         for v in victims:
             assert v["url"] not in urls
 
-    def test_equality_deletes_fail_loudly(self, spark, tmp_path):
-        import pytest as _pytest
-        from pyspark.sql import functions as F
+    def test_equality_deletes_drop_matching_rows(self, spark,
+                                                 tmp_path):
         path = str(tmp_path / "teq")
         write_table(_pages(spark), path, partition_by=["lang"],
                     mode="overwrite")
-        pre = read_table(spark, path)
-        fake = (pre.limit(1).select(
-            F.regexp_replace(F.col("_metadata.file_path"),
-                             "^file:", "").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos")))
-        write_position_deletes(fake, path, _file_content=2)
+        n_before = read_table(spark, path).count()
+        dels = spark.createDataFrame(
+            [("https://de.example/0",), ("https://en.example/7",)],
+            "url string")
+        snap = write_equality_deletes(dels, path)
+        got = read_table(spark, path)
+        urls = [r["url"] for r in got.collect()]
+        assert len(urls) == n_before - 2
+        assert "https://de.example/0" not in urls
+        assert "https://en.example/7" not in urls
+        # pre-delete snapshot still has them (merge-on-read)
+        old = read_table(spark, path, snapshot_id=snap - 1)
+        assert old.count() == n_before
+
+    def test_equality_delete_sequence_rule(self, spark, tmp_path):
+        """Rows APPENDED AFTER the equality delete carry a higher
+        sequence number and must survive it (spec: a delete applies
+        only to data files with strictly lower seq)."""
+        path = str(tmp_path / "tseq")
+        write_table(_pages(spark, langs=("en",)), path,
+                    partition_by=["lang"], mode="overwrite")
+        dels = spark.createDataFrame(
+            [("https://en.example/0",)], "url string")
+        write_equality_deletes(dels, path)
+        # re-append a row with the SAME equality value
+        reborn = _pages(spark, langs=("en",)).where(
+            "url = 'https://en.example/0'")
+        write_table(reborn, path, partition_by=["lang"],
+                    mode="append")
+        got = read_table(spark, path)
+        hits = [r for r in got.collect()
+                if r["url"] == "https://en.example/0"]
+        assert len(hits) == 1, len(hits)
+
+    def test_equality_deletes_compose_with_position(self, spark,
+                                                    tmp_path):
+        path, _snap, victims, n_before = self._table_with_deletes(
+            spark, tmp_path)
+        dels = spark.createDataFrame(
+            [("https://de.example/11",)], "url string")
+        write_equality_deletes(dels, path)
+        got = read_table(spark, path)
+        urls = [r["url"] for r in got.collect()]
+        assert len(urls) == n_before - len(victims) - 1
+        assert "https://de.example/11" not in urls
+        for v in victims:
+            assert v["url"] not in urls
+
+    def test_mixed_equality_column_sets_fail_loudly(self, spark,
+                                                    tmp_path):
+        import pytest as _pytest
+        path = str(tmp_path / "tmix")
+        write_table(_pages(spark), path, partition_by=["lang"],
+                    mode="overwrite")
+        write_equality_deletes(spark.createDataFrame(
+            [("https://de.example/0",)], "url string"), path)
+        write_equality_deletes(spark.createDataFrame(
+            [("zz",)], "lang string"), path)
         with _pytest.raises(NotImplementedError):
-            read_table(spark, path)
+            read_table(spark, path).count()
+
+    def test_unknown_equality_column_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+        path = str(tmp_path / "tunk")
+        write_table(_pages(spark), path, partition_by=["lang"],
+                    mode="overwrite")
+        with _pytest.raises(ValueError):
+            write_equality_deletes(spark.createDataFrame(
+                [("x",)], "nope string"), path)
