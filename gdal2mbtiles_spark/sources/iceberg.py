@@ -119,8 +119,9 @@ class PlanStats:
     planned: List[str] = field(default_factory=list)
     # v2 row-level deletes discovered in content=1 (delete) manifests
     position_deletes: List[str] = field(default_factory=list)
-    equality_deletes: List[Tuple[str, int]] = field(
-        default_factory=list)           # (path, sequence_number)
+    # (path, sequence_number, equality_ids-or-None)
+    equality_deletes: List[Tuple[str, int, Optional[Tuple[int, ...]]]] \
+        = field(default_factory=list)
     data_seqs: Dict[str, int] = field(default_factory=dict)
 
 
@@ -175,14 +176,31 @@ class IcebergTable:
 
     def _resolve(self, p: str) -> str:
         """Manifest/data paths are absolute in the spec; tolerate
-        table-relative paths for relocated fixtures."""
+        ``file:`` URIs (real writers store full URIs, possibly
+        percent-encoded) and table-relative paths for relocated
+        fixtures."""
+        p = _plain_path_py(p)
         if os.path.isabs(p) and os.path.exists(p):
             return p
         rel = p
-        loc = self.metadata.get("location", self.path).rstrip("/")
+        loc = _plain_path_py(
+            self.metadata.get("location", self.path)).rstrip("/")
         if p.startswith(loc + "/"):
             rel = p[len(loc) + 1:]
         return os.path.join(self.path, rel)
+
+    def current_schema(self) -> Dict:
+        """The schema whose schema-id equals current-schema-id (the
+        schemas LIST is not positionally indexed by id after schema
+        evolution)."""
+        cur = self.metadata.get("current-schema-id", 0)
+        schemas = self.metadata.get("schemas", [])
+        for s in schemas:
+            if s.get("schema-id") == cur:
+                return s
+        if schemas:
+            return schemas[0]
+        raise ValueError(f"table has no schemas: {self.path}")
 
     # -- scan planning --------------------------------------------------------
 
@@ -218,16 +236,23 @@ class IcebergTable:
                     continue
                 df_rec = entry["data_file"]
                 fcontent = df_rec.get("content", 0)
-                # v2 sequence inheritance: a null entry seq means the
-                # manifest's own sequence_number
-                seq = (entry.get("sequence_number")
-                       or mf.get("sequence_number") or 0)
+                # v2 sequence inheritance: a NULL entry seq means the
+                # manifest's own sequence_number.  An explicit 0 is
+                # valid (v1-upgraded data files) and must NOT inherit.
+                seq = entry.get("sequence_number")
+                if seq is None:
+                    seq = mf.get("sequence_number")
+                if seq is None:
+                    seq = 0
                 if is_delete or fcontent != 0:
                     p = self._resolve(df_rec["file_path"])
                     if fcontent == 1:
                         stats.position_deletes.append(p)
                     elif fcontent == 2:
-                        stats.equality_deletes.append((p, seq))
+                        eq_ids = df_rec.get("equality_ids")
+                        stats.equality_deletes.append(
+                            (p, seq,
+                             tuple(eq_ids) if eq_ids else None))
                     else:
                         raise ValueError(
                             f"delete manifest {mpath} carries a "
@@ -288,8 +313,13 @@ def read_table(spark: SparkSession, path: str,
     table = IcebergTable(path)
     files, stats = table.plan_files(snapshot_id, filters)
     if not files:
-        raise ValueError(
-            f"scan plan is empty for filters={filters!r} on {path}")
+        # parity with the Parquet backend: a legitimate no-rows scan
+        # (filters matching nothing) is an EMPTY relation, not an
+        # error — the schema comes from the table metadata
+        df = spark.createDataFrame([], _spark_schema(table))
+        if columns:
+            df = df.select(*columns)
+        return (df, stats) if with_stats else df
     df = spark.read.parquet(*files)
     if stats.position_deletes or stats.equality_deletes:
         from pyspark.sql import functions as F
@@ -297,7 +327,7 @@ def read_table(spark: SparkSession, path: str,
         # capture the (normalized file, row ordinal) ONCE, apply both
         # delete kinds against the captured columns, then drop them
         df = df.withColumns({
-            "_del_file": _norm_path(F.col("_metadata.file_path")),
+            "_del_file": norm_file_path(F.col("_metadata.file_path")),
             "_del_pos": F.col("_metadata.row_index"),
         })
         if stats.position_deletes:
@@ -306,7 +336,8 @@ def read_table(spark: SparkSession, path: str,
         if stats.equality_deletes:
             df = _apply_equality_deletes(spark, df,
                                          stats.equality_deletes,
-                                         stats.data_seqs)
+                                         stats.data_seqs,
+                                         table.current_schema())
         df = df.drop("_del_file", "_del_pos")
     for k, v in (filters or {}).items():
         if k in df.columns:
@@ -316,9 +347,25 @@ def read_table(spark: SparkSession, path: str,
     return (df, stats) if with_stats else df
 
 
+def norm_file_path(col):
+    """Normalize a ``_metadata.file_path`` URI to the plain
+    filesystem path manifests store: strip the ``file:`` scheme,
+    percent-decode, collapse duplicate leading slashes.  ``+`` is
+    legal UNencoded in URI paths, so it is escaped before url_decode
+    (whose form-encoding semantics would read it as a space); a
+    literal ``%`` in the underlying path arrives encoded as ``%25``
+    and decodes back, so the mapping is exact."""
+    from pyspark.sql import functions as F
+    plain = F.regexp_replace(col, "^file:", "")
+    plain = F.url_decode(F.regexp_replace(plain, r"\+", "%2B"))
+    return F.regexp_replace(plain, "^/+", "/")
+
+
 def _norm_path(col):
-    """file:/a, file:///a and /a all normalize to /a — the scan's
-    _metadata.file_path is a URI, manifest paths are plain."""
+    """Raw manifest/delete-file paths: tolerate a file: prefix and
+    collapse duplicate leading slashes.  NO percent-decoding — raw
+    paths may legally contain literal % or + (URIs go through
+    norm_file_path instead)."""
     from pyspark.sql import functions as F
     return F.regexp_replace(F.regexp_replace(col, "^file:", ""),
                             "^/+", "/")
@@ -328,6 +375,28 @@ def _norm_path_py(p: str) -> str:
     """Driver-side twin of _norm_path for dict keys."""
     import re
     return re.sub("^/+", "/", re.sub("^file:", "", p))
+
+
+def _plain_path_py(p: str) -> str:
+    """Driver-side twin of norm_file_path: URI -> plain path
+    (percent-decoding only, ``+`` preserved)."""
+    import re
+    if p.startswith("file:"):
+        from urllib.parse import unquote
+        p = unquote(p[5:])
+    return re.sub("^/+", "/", p) if p.startswith("/") else p
+
+
+def _spark_schema(table: IcebergTable):
+    """Spark StructType DDL for the table's current Iceberg schema."""
+    inv = {"string": "string", "long": "bigint", "int": "int",
+           "double": "double", "float": "float", "boolean": "boolean",
+           "binary": "binary", "timestamptz": "timestamp",
+           "timestamp": "timestamp", "date": "date"}
+    fields = table.current_schema().get("fields", [])
+    return ", ".join(
+        f"`{f['name']}` {inv.get(f.get('type'), 'string')}"
+        for f in fields)
 
 
 def _apply_position_deletes(spark: SparkSession, df: DataFrame,
@@ -344,7 +413,12 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
     so applying every delete visible in the snapshot is exact for
     append+delete histories (a delete can only reference files that
     existed when it was committed); seq-aware filtering for
-    rewrite/compaction flows is out of scope, like equality deletes."""
+    rewrite/compaction flows is out of scope, like equality deletes.
+
+    The delete rows' ``file_path`` holds the manifest's raw path (the
+    spec stores it verbatim); paths captured from
+    ``_metadata.file_path`` must be normalized with
+    :func:`norm_file_path` first (write_position_deletes docstring)."""
     from pyspark.sql import functions as F
     dels = (spark.read.parquet(*delete_files)
             .select(_norm_path(F.col("file_path")).alias("_del_file"),
@@ -353,53 +427,65 @@ def _apply_position_deletes(spark: SparkSession, df: DataFrame,
 
 
 def _apply_equality_deletes(spark: SparkSession, df: DataFrame,
-                            eq_deletes: List[Tuple[str, int]],
-                            data_seqs: Dict[str, int]) -> DataFrame:
+                            eq_deletes: List[
+                                Tuple[str, int,
+                                      Optional[Tuple[int, ...]]]],
+                            data_seqs: Dict[str, int],
+                            schema: Dict) -> DataFrame:
     """Distributed equality-delete application with the spec's
-    sequence rule: a delete row removes a data row iff every equality
+    sequence rule: a delete row removes a data row iff every EQUALITY
     column matches (null-safe) AND the data file's sequence number is
     STRICTLY below the delete file's — rows appended after the delete
-    survive.  Shape: the (file -> seq) map is a tiny broadcast dim
-    attached via _metadata.file_path; the deletes union (usually far
-    smaller than the data) is the anti-join build side.  Delete files
-    carrying different column sets would need one anti-join per set —
-    unimplemented, loud."""
+    survive.  The match columns are the manifest entry's
+    ``equality_ids`` (spec: extra columns stored in the delete file
+    are ignored for matching); files without recorded ids fall back
+    to all stored columns.  Shape: the (file -> seq) map is a tiny
+    broadcast dim attached via _metadata.file_path; each distinct
+    match-column set gets its own anti-join whose build side is that
+    set's deletes union (usually far smaller than the data)."""
     import functools
     import operator
 
     from pyspark.sql import functions as F
 
+    names_by_id = {f["id"]: f["name"]
+                   for f in schema.get("fields", [])}
     by_cols: Dict[Tuple[str, ...], List[Tuple[str, int]]] = {}
-    for p, seq in eq_deletes:
-        cols = tuple(sorted(spark.read.parquet(p).columns))
+    for p, seq, eq_ids in eq_deletes:
+        if eq_ids:
+            unknown = [i for i in eq_ids if i not in names_by_id]
+            if unknown:
+                raise ValueError(
+                    f"equality_ids {unknown} not in table schema "
+                    f"field ids {sorted(names_by_id)}")
+            cols = tuple(sorted(names_by_id[i] for i in eq_ids))
+        else:
+            cols = tuple(sorted(spark.read.parquet(p).columns))
         by_cols.setdefault(cols, []).append((p, seq))
-    if len(by_cols) > 1:
-        raise NotImplementedError(
-            f"equality-delete files with mixed column sets: "
-            f"{sorted(by_cols)}")
-    cols = next(iter(by_cols))
-    missing = [c for c in cols if c not in df.columns]
-    if missing:
-        raise ValueError(
-            f"equality-delete columns {missing} not in table columns "
-            f"{df.columns}")
-
-    dels = None
-    for p, seq in eq_deletes:
-        d = (spark.read.parquet(p).select(*cols)
-             .withColumn("_del_seq", F.lit(int(seq))))
-        dels = d if dels is None else dels.unionByName(d)
-    for c in cols:
-        dels = dels.withColumnRenamed(c, f"_eq_{c}")
 
     files_dim = spark.createDataFrame(
         [(_norm_path_py(k), int(v)) for k, v in data_seqs.items()],
         "_del_file string, _data_seq long")
     data = df.join(F.broadcast(files_dim), "_del_file")
-    cond = functools.reduce(operator.and_, [
-        data[c].eqNullSafe(dels[f"_eq_{c}"]) for c in cols])
-    cond = cond & (data["_data_seq"] < dels["_del_seq"])
-    return data.join(dels, cond, "left_anti").drop("_data_seq")
+
+    for cols, group in sorted(by_cols.items()):
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"equality-delete columns {missing} not in table "
+                f"columns {df.columns}")
+        dels = None
+        for p, seq in group:
+            d = (spark.read.parquet(p).select(*cols)
+                 .withColumn("_del_seq", F.lit(int(seq))))
+            dels = d if dels is None else dels.unionByName(d)
+        for c in cols:
+            dels = dels.withColumnRenamed(c, f"_eq_{c}")
+        cond = functools.reduce(operator.and_, [
+            data[c].eqNullSafe(dels[f"_eq_{c}"]) for c in cols])
+        cond = cond & (data["_data_seq"] < dels["_del_seq"])
+        data = data.join(dels, cond, "left_anti")
+    return data.drop("_data_seq")
 
 
 def write_table(df: DataFrame, path: str,
@@ -587,7 +673,10 @@ def write_position_deletes(deletes: DataFrame, path: str) -> int:
     ordinal), written distributed as the spec's position-delete file
     layout and registered in a content=1 delete manifest whose
     manifest list carries every prior manifest (time travel to the
-    pre-delete snapshot keeps the rows)."""
+    pre-delete snapshot keeps the rows).  file_path must be the PLAIN
+    path as the manifest stores it; paths captured from
+    ``_metadata.file_path`` (a percent-encoded URI) must go through
+    :func:`norm_file_path` first."""
     return _commit_delete_snapshot(
         deletes.select("file_path", "pos"), path, file_content=1)
 
@@ -600,8 +689,7 @@ def write_equality_deletes(deletes: DataFrame, path: str) -> int:
     appended later survive, which read_table enforces).  The
     manifest entry records the columns' field ids as equality_ids."""
     table = IcebergTable(path)
-    schema = table.metadata["schemas"][
-        table.metadata.get("current-schema-id", 0)]
+    schema = table.current_schema()
     ids_by_name = {f["name"]: f["id"] for f in schema["fields"]}
     missing = [c for c in deletes.columns if c not in ids_by_name]
     if missing:

@@ -21,8 +21,8 @@ import pytest
 from gdal2mbtiles_spark.sources import avro
 from gdal2mbtiles_spark.sources.iceberg import (
     MANIFEST_LIST_SCHEMA, IcebergTable, manifest_entry_schema,
-    read_table, write_equality_deletes, write_position_deletes,
-    write_table)
+    norm_file_path, read_table, write_equality_deletes,
+    write_position_deletes, write_table)
 
 REC_SCHEMA = {
     "type": "record", "name": "rec", "fields": [
@@ -261,17 +261,20 @@ class TestPositionDeletes:
     (distributed anti-join on _metadata row ordinals), and the
     pre-delete snapshot must keep them (merge-on-read semantics)."""
 
-    def _table_with_deletes(self, spark, tmp_path, n_drop=3):
+    def _table_with_deletes(self, spark, tmp_path, n_drop=3,
+                            subdir="tdel"):
         from pyspark.sql import functions as F
-        path = str(tmp_path / "tdel")
+        path = str(tmp_path / subdir)
         write_table(_pages(spark), path, partition_by=["lang"],
                     mode="overwrite")
-        # pick n_drop concrete (file, pos) targets from the live scan
+        # pick n_drop concrete (file, pos) targets from the live scan;
+        # _metadata.file_path is a percent-encoded URI, so it must go
+        # through norm_file_path to match the manifest's plain paths
         pre, stats = read_table(spark, path, with_stats=True)
         victims = (pre.select(
             F.col("url"),
-            F.regexp_replace(F.col("_metadata.file_path"),
-                             "^file:", "").alias("file_path"),
+            norm_file_path(
+                F.col("_metadata.file_path")).alias("file_path"),
             F.col("_metadata.row_index").alias("pos"))
             .orderBy("url").limit(n_drop))
         victim_rows = victims.collect()
@@ -363,18 +366,50 @@ class TestPositionDeletes:
         for v in victims:
             assert v["url"] not in urls
 
-    def test_mixed_equality_column_sets_fail_loudly(self, spark,
-                                                    tmp_path):
-        import pytest as _pytest
+    def test_mixed_equality_column_sets_both_apply(self, spark,
+                                                   tmp_path):
+        """Delete files with DIFFERENT equality_ids sets are legal
+        (spec: the match columns are per-file) — one anti-join per
+        distinct set, all applied."""
         path = str(tmp_path / "tmix")
         write_table(_pages(spark), path, partition_by=["lang"],
                     mode="overwrite")
+        n_before = read_table(spark, path).count()
+        n_de = read_table(spark, path).where("lang = 'de'").count()
         write_equality_deletes(spark.createDataFrame(
-            [("https://de.example/0",)], "url string"), path)
+            [("https://en.example/0",)], "url string"), path)
         write_equality_deletes(spark.createDataFrame(
-            [("zz",)], "lang string"), path)
-        with _pytest.raises(NotImplementedError):
-            read_table(spark, path).count()
+            [("de",)], "lang string"), path)
+        got = read_table(spark, path)
+        urls = [r["url"] for r in got.collect()]
+        assert len(urls) == n_before - n_de - 1
+        assert "https://en.example/0" not in urls
+        assert not any(u.startswith("https://de.") for u in urls)
+
+    def test_equality_ids_limit_match_columns(self, spark, tmp_path):
+        """A spec-compliant delete file may STORE extra columns beyond
+        its equality_ids; only the equality_ids columns define the
+        match (extra-column mismatches must not resurrect rows)."""
+        from gdal2mbtiles_spark.sources.iceberg import \
+            _commit_delete_snapshot
+        path = str(tmp_path / "tids")
+        write_table(_pages(spark), path, partition_by=["lang"],
+                    mode="overwrite")
+        n_before = read_table(spark, path).count()
+        table = IcebergTable(path)
+        url_id = {f["name"]: f["id"]
+                  for f in table.current_schema()["fields"]}["url"]
+        # delete file stores (url, lang) but equality_ids names url
+        # only; lang carries a value that matches NO data row
+        dels = spark.createDataFrame(
+            [("https://en.example/0", "no-such-lang")],
+            "url string, lang string")
+        _commit_delete_snapshot(dels, path, file_content=2,
+                                equality_ids=[url_id])
+        got = read_table(spark, path)
+        urls = [r["url"] for r in got.collect()]
+        assert len(urls) == n_before - 1
+        assert "https://en.example/0" not in urls
 
     def test_unknown_equality_column_rejected(self, spark, tmp_path):
         import pytest as _pytest
@@ -384,3 +419,140 @@ class TestPositionDeletes:
         with _pytest.raises(ValueError):
             write_equality_deletes(spark.createDataFrame(
                 [("x",)], "nope string"), path)
+
+
+class TestSpecRobustness:
+    """Regressions for silent-corruption bugs found in round-5 review:
+    URL-encodable table paths, file: URI metadata paths, explicit
+    seq-0 entries, schema-id lookup, and empty-plan parity."""
+
+    def test_deletes_apply_under_url_encoded_paths(self, spark,
+                                                   tmp_path):
+        """A space in the table path makes _metadata.file_path a
+        percent-encoded URI ('%20') while manifests store the plain
+        path; both delete kinds must still join (the round-5 review's
+        confirmed silent-corruption repro)."""
+        from pyspark.sql import functions as F
+        base = tmp_path / "ice test dir"
+        base.mkdir()
+        path = str(base / "tbl")
+        write_table(_pages(spark), path, partition_by=["lang"],
+                    mode="overwrite")
+        pre = read_table(spark, path)
+        n_before = pre.count()
+        victims = (pre.select(
+            F.col("url"),
+            norm_file_path(
+                F.col("_metadata.file_path")).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"))
+            .orderBy("url").limit(2))
+        victim_urls = [r["url"] for r in victims.collect()]
+        write_position_deletes(
+            victims.select("file_path", "pos"), path)
+        write_equality_deletes(spark.createDataFrame(
+            [("https://fr.example/5",)], "url string"), path)
+        got = read_table(spark, path)
+        urls = [r["url"] for r in got.collect()]
+        assert len(urls) == n_before - 3
+        for u in victim_urls + ["https://fr.example/5"]:
+            assert u not in urls
+
+    def test_file_uri_metadata_paths(self, spark, tmp_path):
+        """Real writers store manifest-list/manifest/data paths as
+        file: URIs (percent-encoded); planning must resolve them."""
+        from urllib.parse import quote
+
+        from gdal2mbtiles_spark.sources.iceberg import (
+            MANIFEST_LIST_SCHEMA, manifest_entry_schema)
+        base = tmp_path / "uri dir"
+        base.mkdir()
+        path = str(base / "tbl")
+        write_table(_pages(spark, langs=("en",)), path,
+                    partition_by=["lang"], mode="overwrite")
+        n = read_table(spark, path).count()
+
+        def _uri(p):
+            return "file://" + quote(os.path.abspath(p))
+
+        meta_dir = os.path.join(path, "metadata")
+        meta = json.load(open(
+            os.path.join(meta_dir, "v1.metadata.json")))
+        # rewrite the manifest's data-file paths as URIs
+        mlist = meta["snapshots"][0]["manifest-list"]
+        manifests = list(avro.read_container(mlist))
+        entries = list(avro.read_container(
+            manifests[0]["manifest_path"]))
+        for e in entries:
+            e["data_file"]["file_path"] = _uri(
+                e["data_file"]["file_path"])
+        avro.write_container(manifests[0]["manifest_path"],
+                             manifest_entry_schema(["lang"]), entries)
+        # rewrite the manifest-list's manifest path as a URI
+        manifests[0]["manifest_path"] = _uri(
+            manifests[0]["manifest_path"])
+        avro.write_container(mlist, MANIFEST_LIST_SCHEMA, manifests)
+        # rewrite the snapshot's manifest-list pointer as a URI
+        meta["snapshots"][0]["manifest-list"] = _uri(mlist)
+        json.dump(meta, open(
+            os.path.join(meta_dir, "v1.metadata.json"), "w"))
+        assert read_table(spark, path).count() == n
+
+    def test_explicit_seq_zero_not_inherited(self, spark, tmp_path):
+        """v2 sequence inheritance applies to NULL entry seqs only; an
+        explicit 0 (v1-upgraded data files) must survive as 0."""
+        from gdal2mbtiles_spark.sources.iceberg import \
+            manifest_entry_schema
+        path = str(tmp_path / "tseq0")
+        write_table(_pages(spark, langs=("en",)), path,
+                    partition_by=["lang"], mode="overwrite")
+        table = IcebergTable(path)
+        mlist = table._resolve(table.snapshot()["manifest-list"])
+        manifests = list(avro.read_container(mlist))
+        mpath = table._resolve(manifests[0]["manifest_path"])
+        schema = manifest_entry_schema(["lang"])
+
+        entries = list(avro.read_container(mpath))
+        for e in entries:
+            e["sequence_number"] = 0
+        avro.write_container(mpath, schema, entries)
+        _files, stats = IcebergTable(path).plan_files()
+        assert set(stats.data_seqs.values()) == {0}
+
+        # NULL entry seq DOES inherit the manifest's seq
+        for e in entries:
+            e["sequence_number"] = None
+        avro.write_container(mpath, schema, entries)
+        _files, stats = IcebergTable(path).plan_files()
+        assert set(stats.data_seqs.values()) == \
+            {manifests[0]["sequence_number"]}
+
+    def test_schema_list_keyed_by_schema_id(self, spark, tmp_path):
+        """metadata['schemas'] is keyed by each entry's schema-id
+        field, not by list position (schema evolution renumbers)."""
+        path = str(tmp_path / "tschem")
+        write_table(_pages(spark), path, partition_by=["lang"],
+                    mode="overwrite")
+        meta_path = os.path.join(path, "metadata", "v1.metadata.json")
+        meta = json.load(open(meta_path))
+        meta["schemas"][0]["schema-id"] = 7
+        meta["current-schema-id"] = 7
+        json.dump(meta, open(meta_path, "w"))
+        n_before = read_table(spark, path).count()
+        write_equality_deletes(spark.createDataFrame(
+            [("https://en.example/0",)], "url string"), path)
+        assert read_table(spark, path).count() == n_before - 1
+
+    def test_empty_plan_returns_empty_frame(self, spark, tmp_path):
+        """Filters matching zero files yield an EMPTY DataFrame with
+        the table schema — parity with the Parquet backend, where a
+        no-rows scan is not an error."""
+        path = str(tmp_path / "tempty")
+        write_table(_pages(spark), path, partition_by=["lang"],
+                    mode="overwrite")
+        got = read_table(spark, path, filters={"lang": "zz"})
+        assert got.count() == 0
+        assert got.columns == ["url", "warc_ts", "html", "text",
+                               "lang"]
+        got2 = read_table(spark, path, filters={"lang": "zz"},
+                          columns=["url", "lang"])
+        assert got2.columns == ["url", "lang"]
