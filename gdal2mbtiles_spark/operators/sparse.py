@@ -89,6 +89,11 @@ class _pixel_batch_conf:
     def __exit__(self, *exc):
         if self.old is not None:
             self.spark.conf.set(_ARROW_BATCH_KEY, self.old)
+        else:
+            # conf.get(key, None) is None when the session never set
+            # the key explicitly — unset, or the raised pixel batch
+            # size would leak onto 262KB tile-buffer kernels
+            self.spark.conf.unset(_ARROW_BATCH_KEY)
         return False
 RENDERED_SCHEMA = ("z int, x bigint, y bigint, tile_id bigint, "
                    "tile_hex string, tile_data binary")

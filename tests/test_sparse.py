@@ -157,3 +157,27 @@ def test_sparse_levels_decay(spark, hist):
     for z in range(Z, 0, -1):
         assert counts[z - 1] <= counts[z]
     assert counts[0] >= 1
+
+
+def test_pixel_batch_conf_restores_unset_key(spark):
+    """__exit__ must UNSET the Arrow batch key when the session never
+    set it explicitly (conf.get(key, None) -> None), not leak the
+    raised pixel batch size onto tile-buffer kernels."""
+    from gdal2mbtiles_spark.operators.sparse import (_ARROW_BATCH_KEY,
+                                                     _pixel_batch_conf)
+    orig = spark.conf.get(_ARROW_BATCH_KEY, None)
+    try:
+        spark.conf.unset(_ARROW_BATCH_KEY)
+        with _pixel_batch_conf(spark):
+            assert spark.conf.get(_ARROW_BATCH_KEY) == "65536"
+        assert spark.conf.get(_ARROW_BATCH_KEY, None) is None
+        # and the set-restore path still round-trips
+        spark.conf.set(_ARROW_BATCH_KEY, "256")
+        with _pixel_batch_conf(spark):
+            assert spark.conf.get(_ARROW_BATCH_KEY) == "65536"
+        assert spark.conf.get(_ARROW_BATCH_KEY, None) == "256"
+    finally:
+        if orig is None:
+            spark.conf.unset(_ARROW_BATCH_KEY)
+        else:
+            spark.conf.set(_ARROW_BATCH_KEY, orig)
