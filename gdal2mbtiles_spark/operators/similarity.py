@@ -48,6 +48,14 @@ def _norm_duck(a: str, dim: int = DIM) -> str:
     return f"sqrt({_dot_duck(a, a, dim)})"
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize with zero-norm rows left at zero: an all-zero
+    embedding then scores 0 against everything (deterministic last
+    place) instead of poisoning matmuls/argmax with NaN."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0.0, 1.0, n)
+
+
 def ann_topk_exact(emb: DataFrame, n_queries: int = 20,
                    k: int = 10, dim: int = DIM) -> DataFrame:
     """Exact cosine top-k of every vector for the first ``n_queries``
@@ -56,7 +64,10 @@ def ann_topk_exact(emb: DataFrame, n_queries: int = 20,
     # sums into the join consume overflows janino's 64 KB method limit
     # and silently drops the stage to interpreted eval; the hoisted
     # norm is the identical left-associated expression, so score bits
-    # (and the oracle hash) are unchanged
+    # (and the oracle hash) are unchanged.  The nullif/coalesce
+    # divisor guard maps zero-norm embeddings to score 0 (matching
+    # the matmul path) instead of an ANSI DIVIDE_BY_ZERO; for nonzero
+    # norms the value is bit-identical, so gates are unaffected
     q = (emb.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv"))
@@ -66,7 +77,8 @@ def ann_topk_exact(emb: DataFrame, n_queries: int = 20,
     cand = v.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id"))
     cos = F.expr(
-        f"({_dot_spark('qv', 'vv', dim)}) / (qn * vn)")
+        f"coalesce(({_dot_spark('qv', 'vv', dim)})"
+        f" / nullif(qn * vn, 0.0d), 0.0d)")
     scored = cand.select("query_id", "vec_id", cos.alias("score"))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
                                           F.col("vec_id"))
@@ -112,7 +124,7 @@ def ann_topk_matmul(emb: DataFrame, n_queries: int = 20,
              .select("vec_id", "embedding").collect())
     qids = np.array([r["vec_id"] for r in qrows])
     qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = _unit_rows(qm)
     bq = spark.sparkContext.broadcast((qids, qm))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,7 +132,7 @@ def ann_topk_matmul(emb: DataFrame, n_queries: int = 20,
         for pdf in batches:
             vids = pdf["vec_id"].to_numpy()
             vm = np.array(list(pdf["embedding"]), dtype=np.float64)
-            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            vm = _unit_rows(vm)
             scores = qm_ @ vm.T  # (Q, B)
             out_q, out_v, out_s = [], [], []
             kk = min(k + 1, scores.shape[1])
@@ -217,7 +229,8 @@ def ann_topk_lsh(emb: DataFrame, n_queries: int = 20, k: int = 10,
             .dropDuplicates(["query_id", "vec_id"]))
     # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
     cos = F.expr(
-        f"({_dot_spark('qv', 'embedding')}) / (qn * nrm)")
+        f"coalesce(({_dot_spark('qv', 'embedding')})"
+        f" / nullif(qn * nrm, 0.0d), 0.0d)")
     scored = cand.select("query_id", "vec_id", cos.alias("score"))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
                                           F.col("vec_id"))
@@ -235,7 +248,7 @@ def _kmeans_spherical(sample: np.ndarray, k: int,
     the point worst-covered by the current centroids.  No RNG — the
     same sample always yields the same centroids (gate hashes depend
     on it)."""
-    x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    x = _unit_rows(sample)
     k = min(k, len(x))
     cent = x[:k].copy()
     for _ in range(iters):
@@ -306,14 +319,14 @@ def ann_topk_ivf(emb: DataFrame, n_queries: int = 20, k: int = 10,
     def assign(embedding: pd.Series) -> pd.Series:
         c = bc.value
         m = np.array(list(embedding), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m = _unit_rows(m)
         return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
 
     @F.pandas_udf("array<int>")
     def probes(embedding: pd.Series) -> pd.Series:
         c = bc.value
         m = np.array(list(embedding), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m = _unit_rows(m)
         sims = m @ c.T
         npb = min(nprobe, sims.shape[1])
         order = np.argsort(-sims, axis=1)[:, :npb].astype(np.int32)
@@ -339,7 +352,8 @@ def ann_topk_ivf(emb: DataFrame, n_queries: int = 20, k: int = 10,
             .dropDuplicates(["query_id", "vec_id"]))
     # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
     cos = F.expr(
-        f"({_dot_spark('qv', 'embedding', dim)}) / (qn * nrm)")
+        f"coalesce(({_dot_spark('qv', 'embedding', dim)})"
+        f" / nullif(qn * nrm, 0.0d), 0.0d)")
     scored = cand.select("query_id", "vec_id", cos.alias("score"))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(),
                                           F.col("vec_id"))
@@ -365,7 +379,8 @@ def embedding_neardup_pairs(emb: DataFrame, tau: float = 0.9,
     pairs = a.join(b, "_blk").where(F.col("vec_a") < F.col("vec_b"))
     # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
     cos = F.expr(
-        f"({_dot_spark('ea', 'eb', dim)}) / (na * nb)")
+        f"coalesce(({_dot_spark('ea', 'eb', dim)})"
+        f" / nullif(na * nb, 0.0d), 0.0d)")
     return (pairs.select("vec_a", "vec_b", cos.alias("score"))
             .where(F.col("score") >= tau)
             .select("vec_a", "vec_b",
@@ -400,7 +415,8 @@ def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.85,
     # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
     dot = _dot_spark("ms[i].emb_n.embedding",
                      "ms[j].emb_n.embedding", dim)
-    cos = f"({dot}) / (ms[i].emb_n.nrm * ms[j].emb_n.nrm)"
+    cos = (f"coalesce(({dot}) / nullif(ms[i].emb_n.nrm"
+           f" * ms[j].emb_n.nrm, 0.0d), 0.0d)")
     pairs = _grouped_pairs(vlong, ("table_idx", "code"), "emb_n",
                            cos, "score", bucket_cap)
     return (pairs.where(F.col("score") >= tau)

@@ -163,3 +163,30 @@ def test_ann_lsh_plan_shape(spark):
           .executedPlan().toString())
     assert p2.count("ArrowEvalPython [codes") == 1, \
         p2.count("ArrowEvalPython [codes")
+
+
+def test_zero_embedding_rows_stay_finite(spark):
+    """An all-zero embedding must not poison the matmul/IVF paths
+    with NaN: it scores 0 against everything (deterministic last
+    place) and gets a valid cluster assignment."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gdal2mbtiles_spark.operators.similarity import (
+        DIM, ann_topk_ivf, ann_topk_matmul)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * DIM)], "vec_id long, embedding array<float>")
+    # keep the fixture's non-embedding columns out of the union
+    both = emb.select("vec_id", "embedding").unionByName(zero)
+    for df in (ann_topk_matmul(both), ann_topk_ivf(both)):
+        rows = df.collect()
+        assert rows
+        for r in rows:
+            assert r["score"] is not None
+            assert math.isfinite(r["score"]), r
+            # the zero vector can never be anyone's nearest neighbour
+            # at positive similarity
+            if r["vec_id"] == 10_000_000:
+                assert r["score"] <= 0.0
