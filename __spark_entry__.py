@@ -222,67 +222,19 @@ def _q_embedding_neardup_lsh_recall(spark: SparkSession,
 
 
 def _q_utm_warp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5/warp family: foreign-SRS (UTM) reprojection.  The Spark-side
-    distributed inverse-mapping warp (operators/reproject.py) must be
-    pixel-identical to a single-machine numpy oracle computed here in
-    the driver.  DuckDB cannot evaluate the transverse-Mercator
-    series, so — like the LSH recall rows — the SQL oracle pins the
-    deterministic tile count and the driver-verified exactness flag;
-    any regression in the projection math, the cover join, or the
-    block assembly flips warp_exact_ok and reddens the row."""
-    import math as _m
-
-    import numpy as np
-
-    from gdal2mbtiles_spark.cells import MAX_MERCATOR_LAT
-    from gdal2mbtiles_spark.operators.reproject import \
-        reproject_utm_to_tiles
-    from gdal2mbtiles_spark.operators.resample import blocks_from_array
-    from gdal2mbtiles_spark.proj import tm_forward, utm_params
-
-    W, H = 700, 600
-    GT = (400000.0, 100.0, 0.0, 5500000.0, 0.0, -100.0)
-    EPSG = 32631
-    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
-    img = np.zeros((H, W, 4), np.uint8)
-    img[..., 0] = gx % 256
-    img[..., 1] = gy % 256
-    img[..., 2] = (gx // 7 + gy // 11) % 256
-    img[..., 3] = 255
-
-    rows = reproject_utm_to_tiles(
-        spark, blocks_from_array(spark, img), GT, W, H, EPSG,
-        interpolate="near").collect()
-    lon0, fn = utm_params(EPSG)
-    ok = len(rows) > 0
-    for r in rows:
-        z = int(r["z"])
-        n = 1 << z
-        got = np.frombuffer(bytes(r["px"]), np.uint8).reshape(
-            256, 256, 4)
-        px = int(r["x"]) + (np.arange(256) + 0.5) / 256
-        py = (n - 1 - int(r["y"])) + (np.arange(256) + 0.5) / 256
-        mx, my = np.meshgrid(px, py)
-        lon = mx / n * 360.0 - 180.0
-        lat = np.degrees(np.arctan(np.sinh(
-            _m.pi * (1.0 - 2.0 * my / n))))
-        e, nn = tm_forward(
-            lon.ravel(),
-            np.clip(lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT).ravel(),
-            lon0, fn=fn)
-        u = (e - GT[0]) / GT[1] - 0.5
-        v = (GT[3] - nn) / 100.0 - 0.5
-        want = np.zeros((256 * 256, 4), np.uint8)
-        inside = ((u >= -0.5) & (u <= W - 0.5)
-                  & (v >= -0.5) & (v <= H - 0.5))
-        iu = np.clip(np.rint(u).astype(int), 0, W - 1)
-        iv = np.clip(np.rint(v).astype(int), 0, H - 1)
-        want[inside] = img[iv[inside], iu[inside]]
-        if not np.array_equal(got, want.reshape(256, 256, 4)):
-            ok = False
-            break
-    return spark.createDataFrame([(len(rows), bool(ok))],
-                                 "n_tiles bigint, warp_exact_ok boolean")
+    """S5/warp family: foreign-SRS (UTM, EPSG:32631) reprojection.
+    The Spark-side distributed inverse-mapping warp
+    (operators/reproject.py) must be pixel-identical to the shared
+    single-machine numpy oracle (_warp_gate; projection_for_epsg's
+    UTM forward is bit-identical to the round-4 tm_forward call this
+    gate originally inlined).  DuckDB cannot evaluate the
+    transverse-Mercator series, so — like the LSH recall rows — the
+    SQL oracle pins the deterministic tile count and the
+    driver-verified exactness flag; any regression in the projection
+    math, the cover join, or the block assembly flips warp_exact_ok
+    and reddens the row."""
+    return _warp_gate(spark, 32631, 700, 600,
+                      (400000.0, 100.0, 0.0, 5500000.0, 0.0, -100.0))
 
 
 def _warp_gate(spark: SparkSession, epsg: int, W: int, H: int,
