@@ -230,8 +230,12 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame,
         return cand.mapInPandas(
             refine, schema=f"{point_id} {pid_t}, poly_id {poly_t}")
 
-    verts: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
-        int(r["poly_id"]): (np.array(r["xs"]), np.array(r["ys"]))
+    # keys stay the raw id values: int() here made the broadcast plan
+    # crash on string/bigint ids the shuffle path handles, flipping
+    # behaviour with the auto size estimate (numpy scalars from
+    # np.unique hash-equal their python twins, so lookups still hit)
+    verts: Dict[object, Tuple[np.ndarray, np.ndarray]] = {
+        r["poly_id"]: (np.array(r["xs"]), np.array(r["ys"]))
         for r in polys.select("poly_id", "xs", "ys").collect()}
     bverts = spark.sparkContext.broadcast(verts)
 
@@ -249,7 +253,8 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame,
         pid = poly_id.to_numpy()
         for p in np.unique(pid):
             m = pid == p
-            xs, ys = bverts.value[int(p)]
+            xs, ys = bverts.value[p.item() if hasattr(p, "item")
+                                  else p]
             out[m] = ray_cast_contains(pl[m], pt[m], xs, ys)
         return pd.Series(out)
 
@@ -261,8 +266,12 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame,
 # --- J6: kNN over cell rings -------------------------------------------------
 
 def _cell_xy(cell: Column, res: int) -> Tuple[Column, Column]:
+    # X_SHIFT = 2^29: extract with exact integer bit ops.  A long/long
+    # `/` evaluates in DOUBLE, which rounds rem above 2^53 (res >= 25
+    # with large x) and silently corrupts (x, y) — the numpy twin
+    # cells.unpack_cell uses exact // for the same reason
     rem = cell - F.lit(res * RES_SHIFT)
-    x = (rem / F.lit(X_SHIFT)).cast("long")
+    x = F.shiftright(rem, 29)
     y = rem - x * F.lit(X_SHIFT)
     return x, y
 
@@ -379,138 +388,144 @@ def knn_join(points: DataFrame, queries: DataFrame,
     # reclaimed by the ContextCleaner once their Python refs drop —
     # a kNN call leaves no cached RDDs behind
     cached = [pts, qbase]
-    _CAND_COLS = ["query_id", "_qlon", "_qlat", "_k", "_qx", "_qy",
-                  "_pid", "_dist"]
-    remaining = qbase
-    settled = []
-    carried = None        # prior top-k rows for still-unsettled queries
-    ring, prev = 1, -1
-    for it in range(max_iters):
-        covers_world = ring >= n
-        # ANNULUS expansion (round-2 VERDICT #3): scan only the cells
-        # at Chebyshev distance (prev, ring] — the inner disk was
-        # scanned in earlier iterations and its contribution rides
-        # forward in ``carried`` (at most k rows per query), so no
-        # cell's points are ever joined twice and the per-iteration
-        # dropDuplicates shuffle disappears.  dx is clamped to one
-        # wrap period [-n//2, (n-1)//2] and dy to the grid height, so
-        # a world-covering ring costs O(n^2) offsets, not the
-        # unclamped (2*ring+1)^2 blow-up.
-        lo_x, hi_x = min(ring, n // 2), min(ring, (n - 1) // 2)
-        ry = min(ring, n - 1)
-        offs = (spark.range(-lo_x, hi_x + 1)
-                .select(F.col("id").alias("_dx"))
-                .crossJoin(spark.range(-ry, ry + 1)
-                           .select(F.col("id").alias("_dy")))
-                .where(F.greatest(F.abs(F.col("_dx")),
-                                  F.abs(F.col("_dy"))) > prev))
-        cand_cells = (remaining.crossJoin(F.broadcast(offs))
-                      .withColumn("_ny", F.col("_qy") + F.col("_dy"))
-                      .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
-                      .withColumn("_nx", F.pmod(
-                          F.col("_qx") + F.col("_dx"), F.lit(n)))
-                      .select("query_id", "_qlon", "_qlat", "_k",
-                              "_qx", "_qy",
-                              (F.lit(res * RES_SHIFT)
-                               + F.col("_nx") * F.lit(X_SHIFT)
-                               + F.col("_ny")).alias("_pcell")))
+    # unpersist in finally: an executor failure mid-loop
+    # must not leak the cached full points projection for
+    # the session lifetime (the no-cache-leak invariant
+    # below holds on error paths too)
+    try:
+        _CAND_COLS = ["query_id", "_qlon", "_qlat", "_k", "_qx", "_qy",
+                      "_pid", "_dist"]
+        remaining = qbase
+        settled = []
+        carried = None        # prior top-k rows for still-unsettled queries
+        ring, prev = 1, -1
+        for it in range(max_iters):
+            covers_world = ring >= n
+            # ANNULUS expansion (round-2 VERDICT #3): scan only the cells
+            # at Chebyshev distance (prev, ring] — the inner disk was
+            # scanned in earlier iterations and its contribution rides
+            # forward in ``carried`` (at most k rows per query), so no
+            # cell's points are ever joined twice and the per-iteration
+            # dropDuplicates shuffle disappears.  dx is clamped to one
+            # wrap period [-n//2, (n-1)//2] and dy to the grid height, so
+            # a world-covering ring costs O(n^2) offsets, not the
+            # unclamped (2*ring+1)^2 blow-up.
+            lo_x, hi_x = min(ring, n // 2), min(ring, (n - 1) // 2)
+            ry = min(ring, n - 1)
+            offs = (spark.range(-lo_x, hi_x + 1)
+                    .select(F.col("id").alias("_dx"))
+                    .crossJoin(spark.range(-ry, ry + 1)
+                               .select(F.col("id").alias("_dy")))
+                    .where(F.greatest(F.abs(F.col("_dx")),
+                                      F.abs(F.col("_dy"))) > prev))
+            cand_cells = (remaining.crossJoin(F.broadcast(offs))
+                          .withColumn("_ny", F.col("_qy") + F.col("_dy"))
+                          .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+                          .withColumn("_nx", F.pmod(
+                              F.col("_qx") + F.col("_dx"), F.lit(n)))
+                          .select("query_id", "_qlon", "_qlat", "_k",
+                                  "_qx", "_qy",
+                                  (F.lit(res * RES_SHIFT)
+                                   + F.col("_nx") * F.lit(X_SHIFT)
+                                   + F.col("_ny")).alias("_pcell")))
 
-        cand = cand_cells.join(pts, "_pcell")
-        cand = cand.withColumn("_dist", haversine_col(
-            F.col("_qlon"), F.col("_qlat"),
-            F.col("_plon"), F.col("_plat"))).select(*_CAND_COLS)
-        if carried is not None:
-            # annulus cells are disjoint from every earlier disk, so
-            # the carried top-k rows can never duplicate a candidate
-            cand = cand.unionByName(carried)
-        w = W.partitionBy("query_id").orderBy(F.col("_dist"),
-                                              F.col("_pid"))
-        topk = (cand.withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= F.col("_k")))
-        # topk feeds FOUR consumers (stats -> done_ids, the settled
-        # slice, carried, and the final union), and — decisive — its
-        # LOGICAL plan embeds the whole iteration history (carried ->
-        # topk_{i-1} -> remaining_{i-1} -> ...), which doubles per
-        # iteration: persist() alone leaves Catalyst re-analyzing an
-        # exponentially growing tree (measured 91 s of pure planning
-        # by iteration 4 at res 9).  localCheckpoint truncates the
-        # plan to a leaf; the data is at most |remaining| * k rows.
-        topk = topk.localCheckpoint(eager=True)
+            cand = cand_cells.join(pts, "_pcell")
+            cand = cand.withColumn("_dist", haversine_col(
+                F.col("_qlon"), F.col("_qlat"),
+                F.col("_plon"), F.col("_plat"))).select(*_CAND_COLS)
+            if carried is not None:
+                # annulus cells are disjoint from every earlier disk, so
+                # the carried top-k rows can never duplicate a candidate
+                cand = cand.unionByName(carried)
+            w = W.partitionBy("query_id").orderBy(F.col("_dist"),
+                                                  F.col("_pid"))
+            topk = (cand.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= F.col("_k")))
+            # topk feeds FOUR consumers (stats -> done_ids, the settled
+            # slice, carried, and the final union), and — decisive — its
+            # LOGICAL plan embeds the whole iteration history (carried ->
+            # topk_{i-1} -> remaining_{i-1} -> ...), which doubles per
+            # iteration: persist() alone leaves Catalyst re-analyzing an
+            # exponentially growing tree (measured 91 s of pure planning
+            # by iteration 4 at res 9).  localCheckpoint truncates the
+            # plan to a leaf; the data is at most |remaining| * k rows.
+            topk = topk.localCheckpoint(eager=True)
 
-        if covers_world:
-            settled.append(topk.withColumn("settled", F.lit(True)))
-            break
-        if it == max_iters - 1:
-            # terminal flush: emit best-effort top-k for queries that
-            # never satisfied the settle guarantee within max_iters
-            # (instead of silently dropping them) — flagged inexact
-            settled.append(topk.withColumn("settled", F.lit(False)))
-            break
+            if covers_world:
+                settled.append(topk.withColumn("settled", F.lit(True)))
+                break
+            if it == max_iters - 1:
+                # terminal flush: emit best-effort top-k for queries that
+                # never satisfied the settle guarantee within max_iters
+                # (instead of silently dropping them) — flagged inexact
+                settled.append(topk.withColumn("settled", F.lit(False)))
+                break
 
-        # settle guarantee: kth distance within the ring-covered
-        # radius, each side bounded by a true great-circle LOWER bound
-        # on the distance to that ring edge.  Horizontal edges are
-        # meridian segments: distance to the full meridian circle is
-        # R * asin(sin(dLon) * cos(qlat)) — strictly below the
-        # parallel-arc length dLon*cos(qlat) at high latitude, which
-        # round 1 wrongly used (premature settles).  Vertical edges
-        # are parallels: the meridian arc R * radians(dLat) is exact.
-        # A side clipped at the poles (or a horizontal span wrapping
-        # the globe) is fully covered -> +inf.
-        INF = F.lit(1e12)
-        west = _tile_edge_lon(F.col("_qx") - ring, res)
-        east = _tile_edge_lon(F.col("_qx") + ring + 1, res)
-        north = _tile_edge_lat(F.col("_qy") - ring, res)
-        south = _tile_edge_lat(F.col("_qy") + ring + 1, res)
-        dlon = F.least(F.col("_qlon") - west, east - F.col("_qlon"))
-        horiz_km = F.when(F.lit(2 * ring + 1 >= n), INF).otherwise(
-            F.lit(EARTH_RADIUS_KM) * F.asin(F.least(
-                F.lit(1.0),
-                F.sin(F.radians(dlon))
-                * F.cos(F.radians(F.col("_qlat"))))))
-        deg_km = F.lit(math.pi / 180.0 * EARTH_RADIUS_KM)
-        north_km = F.when((F.col("_qy") - ring) <= 0, INF).otherwise(
-            (north - F.col("_qlat")) * deg_km)
-        south_km = F.when((F.col("_qy") + ring + 1) >= n, INF).otherwise(
-            (F.col("_qlat") - south) * deg_km)
-        guard_km = F.least(horiz_km, north_km, south_km)
+            # settle guarantee: kth distance within the ring-covered
+            # radius, each side bounded by a true great-circle LOWER bound
+            # on the distance to that ring edge.  Horizontal edges are
+            # meridian segments: distance to the full meridian circle is
+            # R * asin(sin(dLon) * cos(qlat)) — strictly below the
+            # parallel-arc length dLon*cos(qlat) at high latitude, which
+            # round 1 wrongly used (premature settles).  Vertical edges
+            # are parallels: the meridian arc R * radians(dLat) is exact.
+            # A side clipped at the poles (or a horizontal span wrapping
+            # the globe) is fully covered -> +inf.
+            INF = F.lit(1e12)
+            west = _tile_edge_lon(F.col("_qx") - ring, res)
+            east = _tile_edge_lon(F.col("_qx") + ring + 1, res)
+            north = _tile_edge_lat(F.col("_qy") - ring, res)
+            south = _tile_edge_lat(F.col("_qy") + ring + 1, res)
+            dlon = F.least(F.col("_qlon") - west, east - F.col("_qlon"))
+            horiz_km = F.when(F.lit(2 * ring + 1 >= n), INF).otherwise(
+                F.lit(EARTH_RADIUS_KM) * F.asin(F.least(
+                    F.lit(1.0),
+                    F.sin(F.radians(dlon))
+                    * F.cos(F.radians(F.col("_qlat"))))))
+            deg_km = F.lit(math.pi / 180.0 * EARTH_RADIUS_KM)
+            north_km = F.when((F.col("_qy") - ring) <= 0, INF).otherwise(
+                (north - F.col("_qlat")) * deg_km)
+            south_km = F.when((F.col("_qy") + ring + 1) >= n, INF).otherwise(
+                (F.col("_qlat") - south) * deg_km)
+            guard_km = F.least(horiz_km, north_km, south_km)
 
-        stats = (topk.groupBy("query_id")
-                 .agg(F.count("*").alias("_n"),
-                      F.max("_dist").alias("_kth")))
-        qstate = (remaining.join(stats, "query_id", "left")
-                  .withColumn("_guard", guard_km))
-        done_ids = qstate.where(
-            (F.col("_n") >= F.col("_k"))
-            & (F.col("_kth") <= F.col("_guard"))).select("query_id")
-        settled.append(topk.join(F.broadcast(done_ids), "query_id",
-                                 "left_semi")
-                       .withColumn("settled", F.lit(True)))
-        # same plan-truncation rationale as topk: remaining seeds the
-        # next iteration's whole tree
-        remaining = remaining.join(F.broadcast(done_ids), "query_id",
-                                   "left_anti").localCheckpoint(
-                                       eager=True)
-        if remaining.isEmpty():
-            break
-        # carry unsettled queries' current top-k into the next
-        # annulus; derives from two checkpointed leaves, so its plan
-        # stays flat without its own cut
-        carried = (topk.join(F.broadcast(done_ids), "query_id",
-                             "left_anti").select(*_CAND_COLS))
-        prev, ring = ring, ring * 2
+            stats = (topk.groupBy("query_id")
+                     .agg(F.count("*").alias("_n"),
+                          F.max("_dist").alias("_kth")))
+            qstate = (remaining.join(stats, "query_id", "left")
+                      .withColumn("_guard", guard_km))
+            done_ids = qstate.where(
+                (F.col("_n") >= F.col("_k"))
+                & (F.col("_kth") <= F.col("_guard"))).select("query_id")
+            settled.append(topk.join(F.broadcast(done_ids), "query_id",
+                                     "left_semi")
+                           .withColumn("settled", F.lit(True)))
+            # same plan-truncation rationale as topk: remaining seeds the
+            # next iteration's whole tree
+            remaining = remaining.join(F.broadcast(done_ids), "query_id",
+                                       "left_anti").localCheckpoint(
+                                           eager=True)
+            if remaining.isEmpty():
+                break
+            # carry unsettled queries' current top-k into the next
+            # annulus; derives from two checkpointed leaves, so its plan
+            # stays flat without its own cut
+            carried = (topk.join(F.broadcast(done_ids), "query_id",
+                                 "left_anti").select(*_CAND_COLS))
+            prev, ring = ring, ring * 2
 
-    out = settled[0]
-    for s in settled[1:]:
-        out = out.unionByName(s)
-    out = out.select("query_id", "rank",
-                     F.col("_pid").alias(point_id),
-                     F.col("_dist").alias("dist_km"), "settled")
-    # materialize once (iteration caches still hot), then release every
-    # cache this call created — the caller gets a self-contained result
-    out = out.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
+        out = settled[0]
+        for s in settled[1:]:
+            out = out.unionByName(s)
+        out = out.select("query_id", "rank",
+                         F.col("_pid").alias(point_id),
+                         F.col("_dist").alias("dist_km"), "settled")
+        # materialize once (iteration caches still hot), then release every
+        # cache this call created — the caller gets a self-contained result
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for df in cached:
+            df.unpersist()
     return out
 
 
@@ -612,6 +627,10 @@ def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
                     * F.lit(float(n))).cast("long")
         return F.least(F.lit(n - 1), F.greatest(F.lit(0), t))
 
+    # preserve the input id type end-to-end (bigint/string ids must
+    # not be narrowed to int32 — same contract as the PIP join)
+    poly_t = polys.schema["poly_id"].dataType.simpleString()
+
     if broadcast_polys is None:
         # upper-bound cover count from the bbox tile ranges (the
         # scanline cover is a subset); vertex count from the arrays
@@ -628,13 +647,14 @@ def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
         def cover_kernel(batches: Iterator[pd.DataFrame]
                          ) -> Iterator[pd.DataFrame]:
             for pdf in batches:
+                pid_arr = pdf["poly_id"].to_numpy()
                 ids, cxs, cys = [], [], []
-                for pid, xs, ys in zip(pdf["poly_id"], pdf["xs"],
-                                       pdf["ys"]):
+                for i, (xs, ys) in enumerate(zip(pdf["xs"],
+                                                 pdf["ys"])):
                     cx, cy = polygon_cover_xy(
                         np.asarray(xs, np.float64),
                         np.asarray(ys, np.float64), z)
-                    ids.append(np.full(len(cx), int(pid), np.int32))
+                    ids.append(np.repeat(pid_arr[i:i + 1], len(cx)))
                     cxs.append(cx)
                     cys.append(n - 1 - cy)          # TMS flip
                 if not ids:
@@ -645,7 +665,8 @@ def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
                     "y": np.concatenate(cys)})
 
         cover = polys.select("poly_id", "xs", "ys").mapInPandas(
-            cover_kernel, schema="poly_id int, x bigint, y bigint")
+            cover_kernel,
+            schema=f"poly_id {poly_t}, x bigint, y bigint")
         cand = tiles.join(cover, ["x", "y"])
 
         def shrink(batches: Iterator[pd.DataFrame]
@@ -659,20 +680,22 @@ def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
                         side, side, 4)[:, :, 3]
                     if not alpha.any():
                         continue
-                    pids.append(int(poly_id))
+                    pids.append(poly_id)
                     oxs.append(int(x))
                     oys.append(int(y))
                     planes.append(zlib.compress(
                         np.ascontiguousarray(alpha).tobytes(), 1))
                 if pids:
                     yield pd.DataFrame({
-                        "poly_id": pd.Series(pids, dtype="int32"),
+                        "poly_id": pd.Series(
+                            pids, dtype=pdf["poly_id"].dtype),
                         "x": pd.Series(oxs, dtype="int64"),
                         "y": pd.Series(oys, dtype="int64"),
                         "az": planes})
 
         summ = cand.mapInPandas(
-            shrink, schema="poly_id int, x bigint, y bigint, az binary")
+            shrink,
+            schema=f"poly_id {poly_t}, x bigint, y bigint, az binary")
         enriched = summ.join(polys.select("poly_id", "xs", "ys"),
                              "poly_id")
 
@@ -693,29 +716,31 @@ def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
                         np.asarray(ys, np.float64))
                     if st is None:
                         continue
-                    pids.append(int(poly_id))
+                    pids.append(poly_id)
                     lits.append(st[0])
                     asums.append(st[1])
                 yield pd.DataFrame(
-                    {"poly_id": pd.Series(pids, dtype="int32"),
+                    {"poly_id": pd.Series(
+                        pids, dtype=pdf["poly_id"].dtype),
                      "lit_pixels": pd.Series(lits, dtype="int64"),
                      "alpha_sum": pd.Series(asums, dtype="int64")})
 
         partial = enriched.mapInPandas(
             reduce_batch,
-            schema="poly_id int, lit_pixels bigint, alpha_sum bigint")
+            schema=f"poly_id {poly_t}, lit_pixels bigint, "
+                   f"alpha_sum bigint")
     else:
         rows = []
-        verts: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        verts: Dict[object, Tuple[np.ndarray, np.ndarray]] = {}
         for r in polys.select("poly_id", "xs", "ys").collect():
-            p = int(r["poly_id"])
+            p = r["poly_id"]
             xs, ys = np.array(r["xs"]), np.array(r["ys"])
             verts[p] = (xs, ys)
             cx, cy = polygon_cover_xy(xs, ys, z)
             rows.extend((p, int(a), int(n - 1 - b))        # TMS flip
                         for a, b in zip(cx, cy))
-        cover = spark.createDataFrame(rows,
-                                      "poly_id int, x bigint, y bigint")
+        cover = spark.createDataFrame(
+            rows, f"poly_id {poly_t}, x bigint, y bigint")
         bverts = spark.sparkContext.broadcast(verts)
         cand = tiles.join(F.broadcast(cover), ["x", "y"])
 
@@ -728,22 +753,26 @@ def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
                                               pdf["y"], pdf["px"]):
                     alpha = np.frombuffer(bytes(buf), np.uint8).reshape(
                         side, side, 4)[:, :, 3]
-                    xs, ys = bverts.value[int(poly_id)]
+                    xs, ys = bverts.value[
+                        poly_id.item() if hasattr(poly_id, "item")
+                        else poly_id]
                     st = _masked_tile_stats(alpha, int(x), int(y), n,
                                             xs, ys)
                     if st is None:
                         continue
-                    pids.append(int(poly_id))
+                    pids.append(poly_id)
                     lits.append(st[0])
                     asums.append(st[1])
                 yield pd.DataFrame(
-                    {"poly_id": pd.Series(pids, dtype="int32"),
+                    {"poly_id": pd.Series(
+                        pids, dtype=pdf["poly_id"].dtype),
                      "lit_pixels": pd.Series(lits, dtype="int64"),
                      "alpha_sum": pd.Series(asums, dtype="int64")})
 
         partial = cand.mapInPandas(
             reduce_broadcast,
-            schema="poly_id int, lit_pixels bigint, alpha_sum bigint")
+            schema=f"poly_id {poly_t}, lit_pixels bigint, "
+                   f"alpha_sum bigint")
 
     return (partial.groupBy("poly_id")
             .agg(F.sum("lit_pixels").alias("lit_pixels"),

@@ -413,3 +413,61 @@ class TestAutoKnnRes:
             want = {(r["query_id"], r["rank"], r["url"])
                     for r in knn_bruteforce(pts, queries).collect()}
             assert got == want
+
+
+class TestIdTypeAndCellExactness:
+    """Round-5 review regressions: exact integer cell unpacking at
+    high res, and id-type preservation across plan choices."""
+
+    def test_cell_xy_exact_at_max_res(self, spark):
+        # long/long `/` evaluates in double and rounds above 2^53;
+        # shiftright is exact for every res up to MAX_RES=29
+        from gdal2mbtiles_spark.cells import pack_cell
+        from gdal2mbtiles_spark.operators.spatial import _cell_xy
+        res = 29
+        n = 1 << res
+        xs = np.array([0, 1, n - 1, n // 2, (1 << 24) + 12345],
+                      dtype=np.int64)
+        ys = np.array([0, n - 1, n - 1, n // 3, n - 1],
+                      dtype=np.int64)
+        df = spark.createDataFrame(
+            [(int(c),) for c in pack_cell(xs, ys, res)], "cell long")
+        cx, cy = _cell_xy(F.col("cell"), res)
+        got = [(r["x"], r["y"])
+               for r in df.select(cx.alias("x"), cy.alias("y"))
+               .collect()]
+        assert got == list(zip(xs.tolist(), ys.tolist()))
+
+    def test_pip_string_ids_both_paths(self, spark, geo_pages):
+        # the broadcast plan used int(poly_id) and crashed on string
+        # ids the shuffle plan handled — behaviour must not flip with
+        # the auto size estimate
+        polys = polygons_df(spark, 20).withColumn(
+            "poly_id", F.concat(F.lit("poly-"), F.col("poly_id")))
+        a = {(r["url"], r["poly_id"])
+             for r in point_in_polygon_join(
+                 geo_pages, polys, broadcast_polys=True).collect()}
+        b = {(r["url"], r["poly_id"])
+             for r in point_in_polygon_join(
+                 geo_pages, polys, broadcast_polys=False).collect()}
+        assert a == b and len(a) > 0
+        assert all(p.startswith("poly-") for _, p in a)
+
+    def test_extract_bigint_ids_both_paths(self, spark, geo_pages):
+        # extract hardcoded poly_id to int32; 64-bit ids overflowed
+        # np.full / the int schema — both paths must preserve bigint
+        from gdal2mbtiles_spark.operators.burn import burn_points
+        z = 6
+        polys = polygons_df(spark, 8).withColumn(
+            "poly_id",
+            (F.col("poly_id").cast("bigint")
+             + F.lit(3_000_000_000).cast("bigint")))
+        tiles = burn_points(geo_pages, z)
+        a = {(r["poly_id"], r["lit_pixels"], r["alpha_sum"])
+             for r in extract_poly_stats(
+                 tiles, polys, z=z, broadcast_polys=True).collect()}
+        b = {(r["poly_id"], r["lit_pixels"], r["alpha_sum"])
+             for r in extract_poly_stats(
+                 tiles, polys, z=z, broadcast_polys=False).collect()}
+        assert a == b and len(a) > 0
+        assert all(p >= 3_000_000_000 for p, _, _ in a)
