@@ -151,7 +151,13 @@ def minhash_lsh_pairs(docs: DataFrame,
     candidate cap, generate same-key pairs in-task, then estimate
     similarity as the matching-component fraction.  Output:
     (doc_a, doc_b, est_sim) with est_sim >= min_est_sim."""
-    sigs = minhash_signatures(docs)
+    # a doc with <3 tokens has no shingles: every sig component is
+    # NULL and concat_ws skips NULLs, so ALL short docs would share
+    # one md5('') band key per band — a guaranteed mega-hot window
+    # partition emitting only est_sim-0 pairs.  They cannot be
+    # near-dups under MinHash semantics, so drop them before banding
+    # (the SQL oracle mirrors the filter).
+    sigs = minhash_signatures(docs).where("sig[0] is not null")
     band_cols = [F.md5(F.concat_ws(
         "_", *[F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
                for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
@@ -191,7 +197,8 @@ def minhash_lsh_pairs_sql(source: str = "documents",
     WITH sigs AS (
       SELECT doc_id, {_sig_sql_duck()} AS sig FROM {source}
     ),
-    banded AS (SELECT doc_id, sig, {band_exprs} FROM sigs),
+    banded AS (SELECT doc_id, sig, {band_exprs} FROM sigs
+               WHERE sig[1] IS NOT NULL),
     bands_long AS ({band_union}),
     capped AS (
       SELECT doc_id, sig, band_idx, band_key FROM bands_long
@@ -223,15 +230,23 @@ SIMHASH_BITS = 60
 
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash over distinct tokens —
-    bit i set iff sum over tokens of (2*bit_i(h60(t)) - 1) >= 0."""
+    bit i set iff sum over tokens of (2*bit_i(h60(t)) - 1) >= 0.
+
+    Each distinct token is md5-hashed ONCE into a per-row long array
+    (a projection boundary Catalyst won't inline, same device as
+    minhash_signatures); the 60 bit sums then fold the precomputed
+    longs — inlining the hash into every bit term re-hashed each
+    token 60x, multiplying the operator's dominant cost."""
     toks = f"array_distinct({TOKS_SPARK})"
     h = _h60_spark("t", "sim")
+    hs = docs.select(
+        "doc_id", F.expr(f"transform({toks}, t -> {h})").alias("_hs"))
     bit_terms = " + ".join(
-        f"(case when aggregate({toks}, 0L, (acc, t) -> acc + "
-        f"(cast(shiftright({h}, {i}) & 1 as bigint) * 2 - 1)) >= 0 "
+        f"(case when aggregate(_hs, 0L, (acc, hv) -> acc + "
+        f"(cast(shiftright(hv, {i}) & 1 as bigint) * 2 - 1)) >= 0 "
         f"then cast({2 ** i} as bigint) else 0L end)"
         for i in range(SIMHASH_BITS))
-    return docs.select("doc_id", F.expr(bit_terms).alias("simhash"))
+    return hs.select("doc_id", F.expr(bit_terms).alias("simhash"))
 
 
 def simhash_sql(source: str = "documents") -> str:

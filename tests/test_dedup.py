@@ -137,3 +137,30 @@ def test_no_persisted_rdds_leak(spark):
     D.minhash_lsh_pairs(_docs(spark)).count()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     assert after == before
+
+
+def test_short_docs_never_band_and_oracle_agrees_at_zero(spark):
+    """Docs with <3 tokens have all-NULL signatures; they must be
+    dropped before banding (no md5('') mega-hot band key) and Spark
+    must agree with the DuckDB oracle even at min_est_sim=0, where
+    the NULL-key pairs used to appear on one engine only."""
+    docs = _docs(spark)
+    got = (D.minhash_lsh_pairs(docs, min_est_sim=0.0)
+           .orderBy("doc_a", "doc_b").toPandas())
+    want = (_duck().execute(
+        D.minhash_lsh_pairs_sql("documents", min_est_sim=0.0))
+        .df().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # no pair may involve a shingle-less doc (ids 0..2)
+    assert not ((got["doc_a"] < 3) | (got["doc_b"] < 3)).any()
+
+
+def test_simhash_hash_once_values_unchanged(spark):
+    """The hash-once rewrite must be value-identical to the per-bit
+    definition (the encode gate hashes depend on it)."""
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["simhash"]
+           for r in D.simhash(docs).collect()}
+    want = {r[0]: r[1] for r in _duck().execute(
+        D.simhash_sql("documents")).fetchall()}
+    assert got == want and len(got) == len(SHORT_TEXTS)
