@@ -518,12 +518,16 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         emit = bottom > min_resolution
         out = pyramid_phase_rendered(pixels, top, bottom, renderer,
                                      emit_pixels=emit)
+        # one materialization feeds the rendered union and (when
+        # pixels are emitted) the next pass/apex seed.  The final
+        # phase (emit=False, bottom == min_resolution) needs it just
+        # as much: un-checkpointed, the fused paint+hash+encode
+        # kernel re-executes for every downstream consumer (canon
+        # build, images join, the caller's map action)
+        with _pixel_batch_conf(spark):
+            out = out.localCheckpoint(eager=True)
+        t_prof = _prof(f"phase_ckpt[{top}..{bottom}]", t_prof)
         if emit:
-            # one materialization feeds both the rendered union and
-            # the next pass/apex seed
-            with _pixel_batch_conf(spark):
-                out = out.localCheckpoint(eager=True)
-            t_prof = _prof(f"phase_ckpt[{top}..{bottom}]", t_prof)
             pixels = out.where(F.col("kind") == 1).select(
                 F.lit(bottom - 1).cast("int").alias("z"),
                 "gx", "gy", "r", "g", "b", "a")
@@ -533,8 +537,14 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
 
     # materialize the apex seed as NARROW pixel rows once: the phase
     # checkpoint carries the fat tile_data column, and each per-level
-    # branch below would rescan it otherwise
-    cur = pixels if top == z else pixels.localCheckpoint(eager=True)
+    # branch below would rescan it otherwise.  When min_resolution
+    # cuts the pyramid above the apex (top < min_resolution) no apex
+    # level renders — skip the seed, which would be a full
+    # materialization job whose result nothing reads
+    if top >= min_resolution:
+        cur = pixels if top == z else pixels.localCheckpoint(eager=True)
+    else:
+        cur = pixels
     t_prof = _prof("apex_seed_ckpt", t_prof)
     driver_apex = 2          # <= (256*2^2)^2 = 1.05M rows, any scale
     apex_parts = []

@@ -181,3 +181,29 @@ def test_pixel_batch_conf_restores_unset_key(spark):
             spark.conf.unset(_ARROW_BATCH_KEY)
         else:
             spark.conf.set(_ARROW_BATCH_KEY, orig)
+
+
+def test_min_resolution_final_phase_is_materialized(spark, hist):
+    """min_resolution == the final phase's bottom makes that phase
+    emit=False; it must still be checkpointed (otherwise the fused
+    kernel re-executes per consumer) and the unused apex seed must
+    not be materialized.  Output parity with the full pyramid's
+    matching levels is the correctness half."""
+    from gdal2mbtiles_spark.operators.sparse import \
+        sparse_pyramid_rendered
+    images, map_df = sparse_pyramid_rendered(
+        spark, hist, 6, PngRenderer(compression=1), min_resolution=5)
+    # consumers read checkpointed blocks — no pandas kernel in the
+    # executed plan of either output
+    for df in (images, map_df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan, plan[:2000]
+    got = {(r["zoom_level"], r["tile_column"], r["tile_row"],
+            r["tile_id"]) for r in map_df.collect()}
+    assert {z for z, *_ in got} == {5, 6}
+    _full_images, full_map = sparse_pyramid_rendered(
+        spark, hist, 6, PngRenderer(compression=1), min_resolution=0)
+    want = {(r["zoom_level"], r["tile_column"], r["tile_row"],
+             r["tile_id"])
+            for r in full_map.collect() if r["zoom_level"] >= 5}
+    assert got == want
