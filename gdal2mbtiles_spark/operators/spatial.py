@@ -606,26 +606,21 @@ def extract_poly_stats(tiles: DataFrame, polys: DataFrame,
     neither path reads (round-3 ADVICE)."""
     import zlib
 
-    from ..cells import MAX_MERCATOR_LAT, polygon_cover_xy
+    from ..cells import polygon_cover_xy
+    from ..functions.tilemath import tile_x, tile_y_xyz
     from .pyramid import _broadcast_threshold
 
     spark = tiles.sparkSession
     n = 1 << z
 
+    # the shared slippy tile math (functions/tilemath): a local copy
+    # of the floor+clamp formula here could silently diverge from the
+    # one the rest of the engine and the SQL oracle use
     def _tx(lon: Column) -> Column:
-        t = F.floor((lon + F.lit(180.0)) / F.lit(360.0)
-                    * F.lit(float(n))).cast("long")
-        return F.least(F.lit(n - 1), F.greatest(F.lit(0), t))
+        return tile_x(lon, z)
 
     def _ty_xyz(lat: Column) -> Column:
-        latc = F.least(F.lit(MAX_MERCATOR_LAT),
-                       F.greatest(F.lit(-MAX_MERCATOR_LAT), lat))
-        rad = F.radians(latc)
-        t = F.floor((F.lit(1.0)
-                     - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
-                     / F.lit(math.pi)) / F.lit(2.0)
-                    * F.lit(float(n))).cast("long")
-        return F.least(F.lit(n - 1), F.greatest(F.lit(0), t))
+        return tile_y_xyz(lat, z)
 
     # preserve the input id type end-to-end (bigint/string ids must
     # not be narrowed to int32 — same contract as the PIP join)
