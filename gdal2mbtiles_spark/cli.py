@@ -85,7 +85,9 @@ def png8_arg(s):
         raise argparse.ArgumentTypeError(
             "invalid int value: '{0}'".format(s))
     if not 2 <= result <= 256:
-        raise ValueError(
+        # ArgumentTypeError so argparse surfaces THIS message (a bare
+        # ValueError is swallowed into a generic "invalid value")
+        raise argparse.ArgumentTypeError(
             "png8 must be between 2 and 256: {0!r}".format(result))
     return result
 
@@ -165,6 +167,25 @@ def parse_args(args):
     return args
 
 
+def _synth_blocks(spark, desc):
+    """Driver-synthesized gradient source for "synthetic" warp
+    descriptors, bounded so the driver never holds a huge array
+    (larger rasters arrive as Parquet blocks via kind "blocks")."""
+    if desc["xsize"] * desc["ysize"] > 8192 * 8192:
+        raise SystemExit(
+            "synthetic warp descriptors are bounded at 8192x8192 "
+            "(driver-side synthesis); larger rasters should arrive "
+            'as Parquet blocks (descriptor kind "blocks" with a '
+            '"path")')
+    import numpy as np
+
+    from .operators.resample import blocks_from_array
+    from .sources.rasters import gradient_pixels
+    gx, gy = np.meshgrid(np.arange(desc["xsize"]),
+                         np.arange(desc["ysize"]))
+    return blocks_from_array(spark, gradient_pixels(gx, gy))
+
+
 def load_tiles(spark, args):
     """INPUT -> (native tiles DataFrame, RasterMeta, warped: bool).
 
@@ -211,6 +232,14 @@ def load_tiles(spark, args):
                 raise SystemExit(
                     "foreign-SRS descriptors require a geotransform "
                     "(E0, dE, 0, N0, 0, -dN) in metres")
+            required = ["xsize", "ysize"]
+            if desc["kind"] == "blocks":
+                required.append("path")
+            missing = [k2 for k2 in required if k2 not in desc]
+            if missing:
+                raise SystemExit(
+                    f'descriptor kind "{desc["kind"]}" requires '
+                    "keys: " + ", ".join(missing))
             if args.resampling not in (None, "near", "bilinear"):
                 raise SystemExit(
                     f"--resampling {args.resampling} is not available "
@@ -220,20 +249,7 @@ def load_tiles(spark, args):
             if desc["kind"] == "blocks":
                 blocks = spark.read.parquet(desc["path"])
             else:
-                if desc["xsize"] * desc["ysize"] > 8192 * 8192:
-                    raise SystemExit(
-                        "synthetic warp descriptors are bounded at "
-                        "8192x8192 (driver-side synthesis); larger "
-                        "rasters should arrive as Parquet blocks "
-                        '(descriptor kind "blocks" with a "path")')
-                import numpy as np
-
-                from .operators.resample import blocks_from_array
-                from .sources.rasters import gradient_pixels
-                gx, gy = np.meshgrid(np.arange(desc["xsize"]),
-                                     np.arange(desc["ysize"]))
-                blocks = blocks_from_array(
-                    spark, gradient_pixels(gx, gy))
+                blocks = _synth_blocks(spark, desc)
             tiles = reproject_to_tiles(
                 spark, blocks, tuple(desc["geotransform"]),
                 desc["xsize"], desc["ysize"], epsg,
@@ -262,19 +278,8 @@ def load_tiles(spark, args):
         except (UnalignedInputError, AssertionError):
             pass
         # warp path: synthesize the unaligned source image and warp it
-        if desc["xsize"] * desc["ysize"] > 8192 * 8192:
-            raise SystemExit(
-                "synthetic warp descriptors are bounded at 8192x8192 "
-                "(driver-side synthesis); larger rasters should arrive "
-                "as Parquet blocks")
-        import numpy as np
-
         from .helpers import warp_plan
-        from .operators.resample import blocks_from_array
-        from .sources.rasters import gradient_pixels
-        gx, gy = np.meshgrid(np.arange(desc["xsize"]),
-                             np.arange(desc["ysize"]))
-        blocks = blocks_from_array(spark, gradient_pixels(gx, gy))
+        blocks = _synth_blocks(spark, desc)
         tiles, meta = warp_plan(spark, blocks, meta,
                                 interpolate=args.resampling)
         return tiles, meta, True
@@ -288,6 +293,8 @@ def load_tiles(spark, args):
     from pyspark.sql import functions as F
     stats = tiles.agg(F.max("z"), F.min("x"), F.max("x"), F.min("y"),
                       F.max("y")).first()
+    if stats[0] is None:
+        raise SystemExit(f"Parquet tile input is empty: {args.INPUT}")
     z = int(stats[0])
     from .grid import SRS_MERCATOR, RasterMeta, TILE_SIDE
     world = SRS_MERCATOR.world_extents()

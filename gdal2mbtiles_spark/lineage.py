@@ -47,7 +47,10 @@ def compute_lineage(df: DataFrame, stage: str) -> DataFrame:
     """Per-partition (rows, approx bytes, order-insensitive checksum)."""
     cols = df.columns
     row_hash = F.xxhash64(*[F.col(c) for c in cols])
-    byte_est = sum([F.length(F.col(c).cast("string"))
+    # coalesce per column: a single NULL column would null-propagate
+    # the whole row's term and silently drop it from the bytes sum
+    byte_est = sum([F.coalesce(F.length(F.col(c).cast("string")),
+                               F.lit(0))
                     for c in cols], F.lit(0))
     # sum-of-row-hashes folded mod 2^62: order-insensitive (stable at
     # any parallelism); decimal accumulation avoids ANSI long overflow

@@ -100,11 +100,17 @@ def clean_metadata_value(key: str, value, version: str):
                     value, ", ".join(sorted(FORMATS))))
         return value
     if key == "bounds" and version in ("1.1", "1.2"):
-        if isinstance(value, str):
-            parts = [float(b) for b in value.split(",")]
-        else:
-            parts = list(value)
-        left, bottom, right, top = (round(v, 5) for v in parts)
+        # malformed input (non-numeric parts, wrong arity) must raise
+        # the module's documented MetadataValueError, not a raw
+        # ValueError from float()/unpacking
+        try:
+            if isinstance(value, str):
+                parts = [float(b) for b in value.split(",")]
+            else:
+                parts = list(value)
+            left, bottom, right, top = (round(v, 5) for v in parts)
+        except (ValueError, TypeError):
+            raise MetadataValueError(f"Invalid bounds: {value!r}")
         if (left >= right or bottom >= top or left < -180.0
                 or right > 180.0 or bottom < -90.0 or top > 90.0):
             raise MetadataValueError(f"Invalid bounds: {value!r}")
@@ -168,8 +174,16 @@ class MBTilesFile:
         if os.path.exists(filename):
             os.remove(filename)
         f = cls(filename, version=version, create=True)
-        for k, v in metadata.items():
-            f.set_metadata(k, v)
+        try:
+            for k, v in metadata.items():
+                f.set_metadata(k, v)
+        except Exception:
+            # don't leave an open connection and a schema-only
+            # partial file where a valid one may have stood
+            f.close()
+            if os.path.exists(filename):
+                os.remove(filename)
+            raise
         return f
 
     # -- metadata ---------------------------------------------------------

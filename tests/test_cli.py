@@ -42,7 +42,10 @@ class TestArgValidation:
         assert png8_arg(None) is None
         with pytest.raises(argparse.ArgumentTypeError):
             png8_arg("x")
-        with pytest.raises(ValueError, match="between 2 and 256"):
+        # ArgumentTypeError so argparse shows the range message
+        # instead of a generic "invalid value"
+        with pytest.raises(argparse.ArgumentTypeError,
+                           match="between 2 and 256"):
             png8_arg("1")
 
     def test_color_coloring_pairing(self, capsys):

@@ -138,3 +138,29 @@ class TestBatchedCommits:
         rows2 = sqlite3.connect(p2).execute(
             "SELECT * FROM tiles ORDER BY 1,2,3").fetchall()
         assert rows1 == rows2
+
+
+class TestMetadataErrorPaths:
+    def test_malformed_bounds_raise_metadata_error(self):
+        import pytest as _pytest
+
+        from gdal2mbtiles_spark.mbtiles import (MetadataValueError,
+                                                clean_metadata_value)
+        for bad in ("0,0,10", "a,b,c,d", "0,0,10,20,30"):
+            with _pytest.raises(MetadataValueError):
+                clean_metadata_value("bounds", bad, "1.1")
+
+    def test_create_cleans_up_on_invalid_metadata(self, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from gdal2mbtiles_spark.mbtiles import (MBTilesFile,
+                                                MetadataValueError)
+        fn = str(tmp_path / "bad.mbtiles")
+        meta = {"name": "x", "type": "bogus", "version": "1",
+                "description": "d", "format": "png"}
+        with _pytest.raises(MetadataValueError):
+            MBTilesFile.create(fn, meta)
+        # no schema-only partial file left where a valid one may stand
+        assert not os.path.exists(fn)

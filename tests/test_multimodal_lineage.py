@@ -264,3 +264,16 @@ class TestJpegFillBytes:
         assert not _is_supported_jpeg(sof3)
         assert not _is_supported_jpeg(
             sof3[:2] + b"\xff\xff" + sof3[2:])
+
+
+def test_lineage_bytes_survive_null_columns(spark):
+    """A NULL column must not null-propagate the whole row out of the
+    bytes estimate (fingerprints legitimately emits NULL fp columns)."""
+    from gdal2mbtiles_spark.lineage import compute_lineage
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None)], "id bigint, s string")
+    rows = compute_lineage(df.coalesce(1), "s").collect()
+    assert len(rows) == 1
+    assert rows[0]["rows"] == 2
+    # row 1: len('1')+len('abc')=4; row 2: len('2')+0=1
+    assert rows[0]["bytes"] == 5
