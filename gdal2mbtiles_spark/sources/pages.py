@@ -38,21 +38,37 @@ LANGS = ("en", "fr", "de", "es", "pt")
 SKEW_LON, SKEW_LAT = 2.3522, 48.8566
 
 
-def synth_pages(spark: SparkSession, n: int,
-                n_hosts: int = 100) -> DataFrame:
-    df = spark.range(n)
-    url = F.concat(F.lit("https://site"),
-                   (F.col("id") % n_hosts).cast("string"),
-                   F.lit(".example/"),
-                   F.lpad(F.col("id").cast("string"), 8, "0"))
-    text = F.concat_ws(
+def page_url_col(idx, n_hosts: int = 100):
+    """url Column from a row index — THE construction both the batch
+    synth and the streaming rate source derive from (one definition,
+    so the byte-identical-text invariant F17 cannot silently split
+    between the two paths)."""
+    return F.concat(F.lit("https://site"),
+                    (idx % n_hosts).cast("string"),
+                    F.lit(".example/"),
+                    F.lpad(idx.cast("string"), 8, "0"))
+
+
+def page_text_col(url):
+    return F.concat_ws(
         " ", F.md5(url), F.md5(F.concat(url, F.lit("1"))),
         F.md5(F.concat(url, F.lit("2"))),
         F.md5(F.concat(url, F.lit("3"))))
-    lang = F.element_at(
+
+
+def page_lang_col(url):
+    return F.element_at(
         F.array(*[F.lit(x) for x in LANGS]),
         (F.conv(F.substring(F.md5(url), 1, 2), 16, 10).cast("int")
          % len(LANGS)) + 1)
+
+
+def synth_pages(spark: SparkSession, n: int,
+                n_hosts: int = 100) -> DataFrame:
+    df = spark.range(n)
+    url = page_url_col(F.col("id"), n_hosts)
+    text = page_text_col(url)
+    lang = page_lang_col(url)
     return df.select(
         url.alias("url"),
         F.timestamp_seconds(F.lit(EPOCH_2025) + F.col("id"))

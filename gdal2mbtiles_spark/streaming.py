@@ -23,30 +23,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sources.pages import EPOCH_2025, LANGS
+from .sources.pages import (EPOCH_2025, page_lang_col, page_text_col,
+                            page_url_col)
 
 
 def stream_pages(spark: SparkSession, rows_per_second: int = 1000,
                  n_hosts: int = 100) -> DataFrame:
     """Unbounded pages stream from the rate source.
 
-    Each rate tick becomes one synthetic page via the SAME expressions
-    as sources.pages.synth_pages (byte-identical text per url), with
-    ``warc_ts`` as the event-time column."""
+    Each rate tick becomes one synthetic page via the SHARED column
+    builders of sources.pages (byte-identical text per url by
+    construction, not by copy), with ``warc_ts`` as the event-time
+    column."""
     rate = (spark.readStream.format("rate")
             .option("rowsPerSecond", rows_per_second).load())
-    url = F.concat(F.lit("https://site"),
-                   (F.col("value") % n_hosts).cast("string"),
-                   F.lit(".example/"),
-                   F.lpad(F.col("value").cast("string"), 8, "0"))
-    text = F.concat_ws(
-        " ", F.md5(url), F.md5(F.concat(url, F.lit("1"))),
-        F.md5(F.concat(url, F.lit("2"))),
-        F.md5(F.concat(url, F.lit("3"))))
-    lang = F.element_at(
-        F.array(*[F.lit(x) for x in LANGS]),
-        (F.conv(F.substring(F.md5(url), 1, 2), 16, 10).cast("int")
-         % len(LANGS)) + 1)
+    url = page_url_col(F.col("value"), n_hosts)
+    text = page_text_col(url)
+    lang = page_lang_col(url)
     return rate.select(
         url.alias("url"),
         F.timestamp_seconds(F.lit(EPOCH_2025) + F.col("value"))
