@@ -56,16 +56,6 @@ EARTH_R = 6378137.0
 _MARGIN = 4          # source-px safety margin over the boundary bbox
 
 
-def _boundary_px(xsize: int, ysize: int, pts: int = 64
-                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Pixel coordinates sampling the raster boundary."""
-    xs = np.linspace(0.0, float(xsize), pts)
-    ys = np.linspace(0.0, float(ysize), pts)
-    bx = np.concatenate([xs, xs, np.zeros(pts), np.full(pts, xsize)])
-    by = np.concatenate([np.zeros(pts), np.full(pts, ysize), ys, ys])
-    return bx, by
-
-
 def _boundary_ring_px(xsize: int, ysize: int, pts: int = 64
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Boundary samples in RING order (top L->R, right T->B, bottom
@@ -108,7 +98,8 @@ def pick_target_zoom(ground_res_m: float, lat_center: float) -> int:
 
 def target_tile_keys(spark: SparkSession, ring_lon: np.ndarray,
                      ring_lat: np.ndarray, z: int,
-                     full_width: bool = False) -> DataFrame:
+                     full_width: bool = False,
+                     wrap_cols: bool = False) -> DataFrame:
     """Target XYZ tile keys (tx, ty y-down) intersecting a lon/lat
     boundary ring, +-1 tile of chord margin — the exact scanline
     cover (cells.band_lon_span) distributed over tile ROWS, replacing
@@ -125,14 +116,22 @@ def target_tile_keys(spark: SparkSession, ring_lon: np.ndarray,
     way (the cover kernel discards tiles whose back-projected window
     misses the source); the cost is one discarded 16x16 boundary
     sample per extra tile, acceptable at the moderate zooms polar
-    ground resolutions pick."""
+    ground resolutions pick — but it is ONLY for pole-enclosing
+    footprints.
+
+    wrap_cols=True runs the scanline on an UNWRAPPED ring (continuous
+    lon coordinate, possibly outside [-180, 180]) and emits each
+    band's columns modulo 2^z — the antimeridian path: a UTM zone
+    1/60 source crossing +-180 stays O(tiles touched) instead of the
+    full-width O(rows x 2^z) cliff at 10 m zooms."""
+    from ..cells import lonlat_to_xyz
+
     n = 1 << z
 
     def _ty(lat: float) -> int:
-        rad = math.radians(lat)
-        t = (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad))
-             / math.pi) / 2.0 * n
-        return int(np.clip(math.floor(t), 0, n - 1))
+        # the shared slippy formula (lat pre-clipped by the caller)
+        _x, y = lonlat_to_xyz(np.array([0.0]), np.array([lat]), z)
+        return int(y[0])
 
     ty0 = max(_ty(float(ring_lat.max())) - 1, 0)
     ty1 = min(_ty(float(ring_lat.min())) + 1, n - 1)
@@ -168,14 +167,25 @@ def target_tile_keys(spark: SparkSession, ring_lon: np.ndarray,
                 lo, hi = span
                 # +-1 col: the ring is a chord sampling of the true
                 # curved footprint; empty tiles cost nothing later
-                x_lo = int(np.clip(
-                    math.floor((lo + 180.0) / 360.0 * n) - 1,
-                    0, n - 1))
-                x_hi = int(np.clip(
-                    math.floor((hi + 180.0) / 360.0 * n) + 1,
-                    0, n - 1))
-                for tx in range(x_lo, x_hi + 1):
-                    out_tx.append(tx)
+                if wrap_cols:
+                    # unwrapped lon coordinate: columns wrap mod n
+                    x_lo = math.floor((lo + 180.0) / 360.0 * n) - 1
+                    x_hi = math.floor((hi + 180.0) / 360.0 * n) + 1
+                    if x_hi - x_lo + 1 >= n:
+                        cols = range(n)
+                    else:
+                        cols = (tx % n
+                                for tx in range(x_lo, x_hi + 1))
+                else:
+                    x_lo = int(np.clip(
+                        math.floor((lo + 180.0) / 360.0 * n) - 1,
+                        0, n - 1))
+                    x_hi = int(np.clip(
+                        math.floor((hi + 180.0) / 360.0 * n) + 1,
+                        0, n - 1))
+                    cols = range(x_lo, x_hi + 1)
+                for tx in cols:
+                    out_tx.append(int(tx))
                     out_ty.append(int(ty))
             if out_tx:
                 yield pd.DataFrame(
@@ -258,9 +268,17 @@ def reproject_to_tiles(spark: SparkSession, blocks: DataFrame,
 
     z = (resolution if resolution is not None
          else pick_target_zoom(de, float(ring_lat.mean())))
+    pole = north_in or south_in
+    wrap_cols = wraps and not pole
+    if wrap_cols:
+        # continuous lon coordinate across the antimeridian jump, so
+        # the scanline stays exact and O(tiles touched) — full width
+        # is reserved for pole-enclosing rings (which really do cover
+        # every longitude); a 10 m UTM zone 1/60 source would pay
+        # O(rows x 2^z) under full width
+        ring_lon = np.degrees(np.unwrap(np.radians(ring_lon)))
     keys = target_tile_keys(spark, ring_lon, ring_lat, z,
-                            full_width=north_in or south_in or wraps)
-    n = 1 << z
+                            full_width=pole, wrap_cols=wrap_cols)
 
     def cover(batches: Iterator[pd.DataFrame]
               ) -> Iterator[pd.DataFrame]:
@@ -275,23 +293,27 @@ def reproject_to_tiles(spark: SparkSession, blocks: DataFrame,
                 fy = (n0 - nn) / dn
                 # the bbox of a 16x16 SAMPLE of a smooth map misses
                 # the true extremum between samples by up to
-                # ~(chord)^2 / (8 * curvature radius); the map's
-                # curvature scale is the earth radius, so in source
-                # pixels err <= (d_px * de)^2 / (8 R) / de.  A fixed
-                # margin holds only for CLI-sized rasters — a public
-                # call with a coarse `resolution` puts a huge raster
-                # under one tile and the fixed 4 px underestimates by
-                # orders of magnitude (round-4 ADVICE), silently
-                # sampling window-edge pixels after the clip below.
+                # max|g''|h^2/8 per axis — which IS (up to the factor)
+                # the max second difference of the sampled grid, so
+                # measure it instead of assuming a curvature model:
+                # the earlier closed form (d_px^2 * de / 8R) used de
+                # for both axes (wrong for anisotropic pixels,
+                # de != dn) and the earth radius for the curvature
+                # scale (off ~12x near the Mercator clip in polar
+                # stereographic), so valid coarse-resolution inputs
+                # tripped the undersized-window guard.  /4 instead of
+                # /8 absorbs the mixed partials; a fixed slack stays
+                # for chord-vs-curve at the raster edge.
                 fx2 = fx.reshape(16, 16)
                 fy2 = fy.reshape(16, 16)
-                d_px = max(
-                    float(np.abs(np.diff(fx2, axis=0)).max()),
-                    float(np.abs(np.diff(fx2, axis=1)).max()),
-                    float(np.abs(np.diff(fy2, axis=0)).max()),
-                    float(np.abs(np.diff(fy2, axis=1)).max()), 0.0)
+
+                def _d2max(g):
+                    return max(
+                        float(np.abs(np.diff(g, n=2, axis=0)).max()),
+                        float(np.abs(np.diff(g, n=2, axis=1)).max()))
+
                 margin = _MARGIN + int(math.ceil(
-                    d_px * d_px * de / (8.0 * EARTH_R)))
+                    max(_d2max(fx2), _d2max(fy2)) / 4.0))
                 sx0 = int(np.floor(fx.min())) - margin
                 sx1 = int(np.ceil(fx.max())) + margin
                 sy0 = int(np.floor(fy.min())) - margin

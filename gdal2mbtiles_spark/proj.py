@@ -126,8 +126,17 @@ def is_utm_epsg(epsg: int) -> bool:
     return 32601 <= epsg <= 32660 or 32701 <= epsg <= 32760
 
 
+def _wrap_lam(lam: np.ndarray) -> np.ndarray:
+    """Normalize a delta-longitude (radians) to [-pi, pi] for
+    antimeridian-crossing sources.  Conditional, so values already in
+    range pass through BIT-IDENTICAL (a modulo rewrite would perturb
+    every in-range value by an ulp and redden the warp gates)."""
+    lam = np.where(lam > np.pi, lam - 2.0 * np.pi, lam)
+    return np.where(lam < -np.pi, lam + 2.0 * np.pi, lam)
+
+
 def _tm_forward_ell(lon, lat, lon0, k0, fe, fn, ell: Ellipsoid):
-    lam = np.radians(np.asarray(lon, np.float64) - lon0)
+    lam = _wrap_lam(np.radians(np.asarray(lon, np.float64) - lon0))
     phi = np.radians(np.asarray(lat, np.float64))
     sphi = np.sin(phi)
     # conformal latitude chi: tan(chi) = sinh(asinh(tan) - e atanh(e sin))
@@ -241,7 +250,8 @@ class LambertConformalConic:
                 / np.power((1.0 - e * s) / (1.0 + e * s), e / 2.0))
 
     def forward(self, lon, lat):
-        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        lam = _wrap_lam(np.radians(np.asarray(lon, np.float64)
+                                   - self.lon0))
         phi = np.radians(np.asarray(lat, np.float64))
         rho = self.ell.a * self.F * np.power(self._t_arr(phi), self.n)
         th = self.n * lam

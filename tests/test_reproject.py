@@ -791,3 +791,87 @@ class TestAlbersWarp:
         emitted = {(int(r["x"]), (1 << z) - 1 - int(r["y"]))
                    for r in rows}
         assert expected and expected <= emitted, expected - emitted
+
+
+class TestAntimeridianWarp:
+    """UTM zone 1 source crossing +-180: the wrap must (a) stay
+    O(tiles touched) — unwrapped-ring scanline, not the full-width
+    O(rows x 2^z) cliff — and (b) light tiles on BOTH sides of the
+    antimeridian pixel-identically to the single-machine oracle
+    (requires the conditional delta-lon wrap in proj forward)."""
+
+    W, H = 2000, 100
+    GT = (250_000.0, 100.0, 0.0, 7_000_000.0, 0.0, -100.0)
+    EPSG = 32601                     # zone 1, lon0 = -177
+
+    def _img(self):
+        gx, gy = np.meshgrid(np.arange(self.W), np.arange(self.H))
+        img = np.zeros((self.H, self.W, 4), np.uint8)
+        img[..., 0] = gx % 256
+        img[..., 1] = gy % 256
+        img[..., 2] = (gx // 7 + gy // 11) % 256
+        img[..., 3] = 255
+        return img
+
+    def test_scanline_not_full_width(self, spark):
+        from gdal2mbtiles_spark.operators.reproject import (
+            _boundary_ring_px, target_tile_keys)
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        proj = projection_for_epsg(self.EPSG)
+        bpx, bpy = _boundary_ring_px(self.W, self.H)
+        ring_lon, ring_lat = proj.inverse(
+            self.GT[0] + bpx * self.GT[1],
+            self.GT[3] + bpy * self.GT[5])
+        # tm_inverse keeps lon continuous around lon0, so the wrap
+        # shows as lons beyond -180 (the production detector's third
+        # condition), not as a jump
+        assert float(ring_lon.min()) < -180.0
+        z = 10
+        n = 1 << z
+        ring_unwrapped = np.degrees(np.unwrap(np.radians(ring_lon)))
+        keys = target_tile_keys(spark, ring_unwrapped, ring_lat, z,
+                                wrap_cols=True).collect()
+        txs = {int(r["tx"]) for r in keys}
+        n_rows = len({int(r["ty"]) for r in keys})
+        # far fewer keys than full width, and columns on both sides
+        assert len(keys) < n_rows * n / 4, (len(keys), n_rows, n)
+        assert any(tx < n // 4 for tx in txs)        # east of +180
+        assert any(tx > 3 * n // 4 for tx in txs)    # west of -180
+
+    def test_matches_oracle_both_sides(self, spark):
+        from gdal2mbtiles_spark.operators.reproject import \
+            reproject_to_tiles
+        from gdal2mbtiles_spark.proj import projection_for_epsg
+        img = self._img()
+        proj = projection_for_epsg(self.EPSG)
+        tiles = reproject_to_tiles(
+            spark, blocks_from_array(spark, img), self.GT,
+            self.W, self.H, self.EPSG, interpolate="near")
+        rows = tiles.collect()
+        assert rows
+        z = rows[0]["z"]
+        n = 1 << z
+        lit_tx = set()
+        lit = 0
+        for r in rows:
+            got = np.frombuffer(bytes(r["px"]), np.uint8).reshape(
+                256, 256, 4)
+            want = _oracle_tile_proj(
+                img, proj, self.GT, self.W, self.H, int(r["x"]),
+                n - 1 - int(r["y"]), z, "near")
+            assert np.array_equal(got, want), (r["x"], r["y"])
+            if (got[..., 3] > 0).any():
+                lit_tx.add(int(r["x"]))
+            lit += int((got[..., 3] > 0).sum())
+        # the footprint really spans the antimeridian
+        assert any(tx < n // 4 for tx in lit_tx), sorted(lit_tx)
+        assert any(tx > 3 * n // 4 for tx in lit_tx), sorted(lit_tx)
+        # every source pixel accounted for, in TARGET pixels: the
+        # picked zoom's ground resolution at the footprint latitude
+        # sets how many target px the W x H source covers
+        lat_c = 63.0
+        res_z = (2.0 * math.pi * 6378137.0
+                 * math.cos(math.radians(lat_c)) / (256.0 * n))
+        expected = (self.W * self.GT[1] / res_z) * (self.H * 100.0
+                                                    / res_z)
+        assert abs(lit - expected) / expected < 0.10, (lit, expected)
