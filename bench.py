@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -94,7 +95,8 @@ def timed(fn, repeats: int = 3) -> float:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
     spark = get_spark(cores=cores, app="gdal2mbtiles_spark-bench",
                       shuffle_partitions=2 * cores)
 

@@ -32,7 +32,12 @@ def with_salt(df: DataFrame, n_salts: int = 16,
     """Deterministic salt column in [0, n_salts): pmod of a row hash
     over ``entropy_cols`` (default: all columns), so re-runs at any
     parallelism produce identical salted keys."""
-    cols = list(entropy_cols) if entropy_cols else df.columns
+    if entropy_cols is not None and not list(entropy_cols):
+        # an explicitly empty list is a caller bug: falling back to
+        # ALL columns would silently hash 262KB px buffers
+        raise ValueError("entropy_cols must be non-empty or None")
+    cols = (list(entropy_cols) if entropy_cols is not None
+            else df.columns)
     return df.withColumn(
         salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
                          F.lit(n_salts)).cast("int"))

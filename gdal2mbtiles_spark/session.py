@@ -48,6 +48,13 @@ def get_spark(cores: Optional[int] = None,
     n_execs = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0"))
     if n_execs > 0:
         per_exec = max(cores // n_execs, 1)
+        if per_exec * n_execs != cores:
+            # a non-divisible split silently drops task slots while
+            # parallelism/shuffle partitions stay sized to the nominal
+            # cores — skewing the N-vs-4N ratios the harness measures
+            raise ValueError(
+                f"SPARK_GRAFT_CPUS={cores} not divisible by "
+                f"SPARK_GRAFT_EXECUTORS={n_execs}")
         exec_mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB",
                                          "12288"))
         builder = (

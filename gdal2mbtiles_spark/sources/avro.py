@@ -160,6 +160,12 @@ def decode_value(src: io.BytesIO, schema: Any) -> Any:
     t = _schema_type(schema)
     if isinstance(t, list):
         idx = read_long(src)
+        if not 0 <= idx < len(t):
+            # a corrupted varint must error, not silently pick a
+            # branch via Python negative indexing
+            raise ValueError(
+                f"avro: union branch index {idx} out of range "
+                f"(union has {len(t)} branches)")
         return decode_value(src, t[idx])
     if t == "null":
         return None
