@@ -130,9 +130,15 @@ def _wrap_lam(lam: np.ndarray) -> np.ndarray:
     """Normalize a delta-longitude (radians) to [-pi, pi] for
     antimeridian-crossing sources.  Conditional, so values already in
     range pass through BIT-IDENTICAL (a modulo rewrite would perturb
-    every in-range value by an ulp and redden the warp gates)."""
-    lam = np.where(lam > np.pi, lam - 2.0 * np.pi, lam)
-    return np.where(lam < -np.pi, lam + 2.0 * np.pi, lam)
+    every in-range value by an ulp and redden the warp gates); only
+    out-of-range values pay the round-multiple reduction (exact for
+    any number of whole turns, not just one)."""
+    lam = np.asarray(lam, np.float64)
+    out_of = (lam > np.pi) | (lam < -np.pi)
+    if not np.any(out_of):
+        return lam
+    wrapped = lam - 2.0 * np.pi * np.round(lam / (2.0 * np.pi))
+    return np.where(out_of, wrapped, lam)
 
 
 def _tm_forward_ell(lon, lat, lon0, k0, fe, fn, ell: Ellipsoid):
