@@ -61,6 +61,34 @@ def _prof(tag: str, t0: float) -> float:
 
 PIXEL_SCHEMA = "z int, gx bigint, gy bigint, r int, g int, b int, a int"
 
+# --- md5 zero-prefix states (round 6) ---------------------------------------
+# The A1 contract hashes the FULL 256 KB canvas per unique tile, and the
+# kernel profile (BENCH/profile_kernel.py) put md5 at ~48% of phase-kernel
+# W.  A burn tile is mostly all-zero rows; md5 state after r zero rows is
+# tile-independent, so 257 cached states (one 256 KB zero pass, built once
+# per worker process) let each tile skip straight to its first lit row.
+# Digests are bit-identical to hashlib.md5(raw) by construction (same byte
+# stream through the same compression function).
+_ROW_BYTES = TILE_SIDE * 4
+_MD5_ZSTATES = None
+
+
+def _md5_sparse(raw, first_row: int):
+    """md5 of the full canvas ``raw`` (flat memoryview), resuming from
+    the cached state after ``first_row`` all-zero rows."""
+    global _MD5_ZSTATES
+    if _MD5_ZSTATES is None:
+        zrow = bytes(_ROW_BYTES)
+        states = [hashlib.md5()]
+        for _ in range(TILE_SIDE):
+            h = states[-1].copy()
+            h.update(zrow)
+            states.append(h)
+        _MD5_ZSTATES = states
+    h = _MD5_ZSTATES[first_row].copy()
+    h.update(raw[first_row * _ROW_BYTES:])
+    return h
+
 # canon broadcast cap: 128 MB of ~64 B rows (2M distinct images) is
 # cheap to torrent-broadcast and keeps tile payloads exchange-free;
 # beyond it the min_by single-shuffle fallback is the scale plan
@@ -163,7 +191,7 @@ def sparse_levels(hist: DataFrame, z: int,
 
 def render_sparse_level(pixels: DataFrame, z: int, renderer,
                         parallelism: Optional[int] = None,
-                        out_chunk: int = 128) -> DataFrame:
+                        out_chunk: int = 1024) -> DataFrame:
     """Fused paint+hash+encode: sparse pixels -> rendered tiles.
 
     Output: (z, x(TMS), y(TMS), tile_id, tile_hex, tile_data=encoded).
@@ -209,19 +237,22 @@ def render_sparse_level(pixels: DataFrame, z: int, renderer,
         _, starts = np.unique(key, return_index=True)
         bounds = np.append(starts, len(key))
 
-        out = {k: [] for k in ("z", "x", "y", "tile_id", "tile_hex",
-                               "tile_data")}
+        o_x: list = []
+        o_y: list = []
+        o_id: list = []
+        o_hex: list = []
+        o_data: list = []
 
         def flush():
             chunk = pd.DataFrame({
-                "z": pd.Series(out["z"], dtype="int32"),
-                "x": pd.Series(out["x"], dtype="int64"),
-                "y": pd.Series(out["y"], dtype="int64"),
-                "tile_id": pd.Series(out["tile_id"], dtype="int64"),
-                "tile_hex": out["tile_hex"],
-                "tile_data": out["tile_data"]})
-            for k in out:
-                out[k] = []
+                "z": np.full(len(o_x), z, dtype=np.int32),
+                "x": np.asarray(o_x, dtype=np.int64),
+                "y": np.asarray(o_y, dtype=np.int64),
+                "tile_id": np.asarray(o_id, dtype=np.int64),
+                "tile_hex": list(o_hex),
+                "tile_data": list(o_data)})
+            for lst in (o_x, o_y, o_id, o_hex, o_data):
+                lst.clear()
             return chunk
 
         canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
@@ -243,22 +274,24 @@ def render_sparse_level(pixels: DataFrame, z: int, renderer,
                 # write) per unique tile, pure memory traffic on the
                 # substrate-bandwidth-bound wide legs (PLANS.md §9/10)
                 raw = canvas.reshape(-1).data
-                hx = hashlib.md5(raw).hexdigest()
+                # ly is (ly, lx)-sorted: resume md5 from the cached
+                # zero-prefix state; pass ly (dups allowed) as the
+                # lit hint — see pyramid_phase_rendered's kernel
+                hx = _md5_sparse(raw, int(ly[0])).hexdigest()
                 hit = (signed_low64(int(hx, 16)), hx,
-                       renderer.render(raw, lit_hint=np.unique(ly)))
+                       renderer.render(raw, lit_hint=ly))
                 canvas[ly, lx] = 0          # clear only lit pixels
                 if len(cache) >= 200_000:
                     cache.clear()
                 cache[ck] = hit
-            out["z"].append(z)
-            out["x"].append(t_x)
-            out["y"].append(n - 1 - t_y)             # TMS flip
-            out["tile_id"].append(hit[0])
-            out["tile_hex"].append(hit[1])
-            out["tile_data"].append(hit[2])
-            if len(out["z"]) >= out_chunk:
+            o_x.append(t_x)
+            o_y.append(n - 1 - t_y)                  # TMS flip
+            o_id.append(hit[0])
+            o_hex.append(hit[1])
+            o_data.append(hit[2])
+            if len(o_x) >= out_chunk:
                 yield flush()
-        if out["z"]:
+        if o_x:
             yield flush()
 
     return keyed.mapInPandas(paint, schema=RENDERED_SCHEMA)
@@ -271,6 +304,54 @@ PHASE_SCHEMA = ("kind int, z int, x bigint, y bigint, tile_id bigint, "
                 "gx bigint, gy bigint, r int, g int, b int, a int")
 
 _KEY_SHIFT = np.int64(1) << 32
+
+
+def _null_ints(n: int, dtype) -> pd.arrays.IntegerArray:
+    """All-null pandas nullable-int column of length n, built from a
+    mask (no per-element Python work)."""
+    return pd.arrays.IntegerArray(np.zeros(n, dtype=dtype),
+                                  np.ones(n, dtype=bool))
+
+
+def _tile_chunk(o_z, o_x, o_y, o_id, o_hex, o_data) -> pd.DataFrame:
+    """kind=0 rows of PHASE_SCHEMA from per-column lists (pixel
+    columns all-null)."""
+    n = len(o_z)
+    return pd.DataFrame({
+        "kind": np.zeros(n, dtype=np.int32),
+        "z": np.asarray(o_z, dtype=np.int32),
+        "x": np.asarray(o_x, dtype=np.int64),
+        "y": np.asarray(o_y, dtype=np.int64),
+        "tile_id": np.asarray(o_id, dtype=np.int64),
+        "tile_hex": o_hex,
+        "tile_data": o_data,
+        "gx": _null_ints(n, np.int64),
+        "gy": _null_ints(n, np.int64),
+        "r": _null_ints(n, np.int32),
+        "g": _null_ints(n, np.int32),
+        "b": _null_ints(n, np.int32),
+        "a": _null_ints(n, np.int32)})
+
+
+def _pixel_chunk(gx: np.ndarray, gy: np.ndarray, ch) -> pd.DataFrame:
+    """kind=1 rows of PHASE_SCHEMA straight from the shrunk sparse
+    arrays (tile columns all-null) — no per-row Python loop."""
+    m = len(gx)
+    none_obj = np.full(m, None, dtype=object)
+    return pd.DataFrame({
+        "kind": np.ones(m, dtype=np.int32),
+        "z": _null_ints(m, np.int32),
+        "x": _null_ints(m, np.int64),
+        "y": _null_ints(m, np.int64),
+        "tile_id": _null_ints(m, np.int64),
+        "tile_hex": none_obj,
+        "tile_data": none_obj,
+        "gx": gx.astype(np.int64),
+        "gy": gy.astype(np.int64),
+        "r": ch[0].astype(np.int32),
+        "g": ch[1].astype(np.int32),
+        "b": ch[2].astype(np.int32),
+        "a": ch[3].astype(np.int32)})
 
 
 def _shrink_sparse(gx, gy, ch):
@@ -292,7 +373,7 @@ def _shrink_sparse(gx, gy, ch):
 def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
                            renderer, emit_pixels: bool,
                            parallelism: Optional[int] = None,
-                           out_chunk: int = 128) -> DataFrame:
+                           out_chunk: int = 1024) -> DataFrame:
     """Render levels [top..bottom] in ONE kernel pass.
 
     Input: sparse pixels at level ``top``.  Partitioning by the
@@ -318,29 +399,15 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
     # (per-task fixed cost is one concat+lexsort)
     p = parallelism or 2 * sc.defaultParallelism
     keyed = keyed.repartition(p, "_ax", "_ay")
+    kernel = _phase_kernel(top, bottom, renderer, emit_pixels,
+                           out_chunk)
+    return keyed.mapInPandas(kernel, schema=PHASE_SCHEMA)
 
-    nones = {"z": None, "x": None, "y": None, "tile_id": None,
-             "tile_hex": None, "tile_data": None, "gx": None,
-             "gy": None, "r": None, "g": None, "b": None, "a": None}
 
-    def _chunk(rows):
-        base = {k: [r.get(k) for r in rows] for k in
-                ("kind", "z", "x", "y", "tile_id", "tile_hex",
-                 "tile_data", "gx", "gy", "r", "g", "b", "a")}
-        return pd.DataFrame({
-            "kind": pd.Series(base["kind"], dtype="int32"),
-            "z": pd.Series(base["z"], dtype="Int32"),
-            "x": pd.Series(base["x"], dtype="Int64"),
-            "y": pd.Series(base["y"], dtype="Int64"),
-            "tile_id": pd.Series(base["tile_id"], dtype="Int64"),
-            "tile_hex": base["tile_hex"],
-            "tile_data": base["tile_data"],
-            "gx": pd.Series(base["gx"], dtype="Int64"),
-            "gy": pd.Series(base["gy"], dtype="Int64"),
-            "r": pd.Series(base["r"], dtype="Int32"),
-            "g": pd.Series(base["g"], dtype="Int32"),
-            "b": pd.Series(base["b"], dtype="Int32"),
-            "a": pd.Series(base["a"], dtype="Int32")})
+def _phase_kernel(top: int, bottom: int, renderer, emit_pixels: bool,
+                  out_chunk: int = 1024):
+    """Build the multi-level paint+hash+encode kernel closure (module
+    level so BENCH/profile_kernel.py profiles the REAL kernel)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [b for b in batches if len(b)]
@@ -353,7 +420,15 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
         ch = [pdf[c].to_numpy().astype(np.int64)
               for c in ("r", "g", "b", "a")]
 
-        pending = []
+        # per-column accumulators (round 6: the per-tile dict building
+        # + row-wise _chunk re-read was ~10% of kernel W in the
+        # BENCH/profile_kernel.py decomposition)
+        o_z: list = []
+        o_x: list = []
+        o_y: list = []
+        o_id: list = []
+        o_hex: list = []
+        o_data: list = []
         canvas = np.zeros((TILE_SIDE, TILE_SIDE, 4), dtype=np.uint8)
         # content-addressed render cache: a burn's tiles average ~1-2
         # sparse pixels, so payload-identical tiles are rampant; a
@@ -385,36 +460,41 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
                     for c in range(4):
                         canvas[ly, lx, c] = ch_u8[c][idx]
                     raw = canvas.reshape(-1).data   # zero-copy view
-                    hx = hashlib.md5(raw).hexdigest()
+                    # ly is (ly, lx)-sorted, so ly[0] is the first lit
+                    # row: md5 resumes from the cached zero-prefix
+                    # state (bit-identical digest, ~40% less hashing)
+                    hx = _md5_sparse(raw, int(ly[0])).hexdigest()
+                    # ly (sorted, possibly duplicated) is a valid
+                    # lit_hint — the encoder content-verifies rows, and
+                    # duplicate indices are idempotent; skipping the
+                    # per-tile np.unique saved ~3% kernel W
                     hit = (signed_low64(int(hx, 16)), hx,
-                           renderer.render(raw,
-                                           lit_hint=np.unique(ly)))
+                           renderer.render(raw, lit_hint=ly))
                     canvas[ly, lx] = 0      # clear only lit pixels
                     if len(cache) >= 200_000:
                         cache.clear()       # bound task memory
                     cache[ck] = hit
-                pending.append(dict(
-                    nones, kind=0, z=lvl, x=t_x, y=n - 1 - t_y,
-                    tile_id=hit[0], tile_hex=hit[1],
-                    tile_data=hit[2]))
-                if len(pending) >= out_chunk:
-                    yield _chunk(pending)
-                    pending = []
+                o_z.append(lvl)
+                o_x.append(t_x)
+                o_y.append(n - 1 - t_y)
+                o_id.append(hit[0])
+                o_hex.append(hit[1])
+                o_data.append(hit[2])
+                if len(o_z) >= out_chunk:
+                    yield _tile_chunk(o_z, o_x, o_y, o_id, o_hex,
+                                      o_data)
+                    o_z, o_x, o_y = [], [], []
+                    o_id, o_hex, o_data = [], [], []
             if lvl > bottom or emit_pixels:
                 gx, gy, ch = _shrink_sparse(gx, gy, ch)
-        if emit_pixels:
-            for j in range(len(gx)):
-                pending.append(dict(
-                    nones, kind=1, gx=int(gx[j]), gy=int(gy[j]),
-                    r=int(ch[0][j]), g=int(ch[1][j]),
-                    b=int(ch[2][j]), a=int(ch[3][j])))
-                if len(pending) >= out_chunk:
-                    yield _chunk(pending)
-                    pending = []
-        if pending:
-            yield _chunk(pending)
+        if o_z:
+            yield _tile_chunk(o_z, o_x, o_y, o_id, o_hex, o_data)
+        if emit_pixels and len(gx):
+            # vectorized pixel emission: one frame straight from the
+            # shrunk arrays (bounded by the level-(bottom-1) relation)
+            yield _pixel_chunk(gx, gy, ch)
 
-    return keyed.mapInPandas(kernel, schema=PHASE_SCHEMA)
+    return kernel
 
 
 def _render_apex_driver(spark: SparkSession, pixels: DataFrame,
@@ -580,13 +660,24 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         F.col("y").alias("tile_row"), "tile_id")
 
     canon = None
+    # canonical key: min (z, x, y) per hash.  For any slippy pyramid
+    # z <= 29 and x, y < 2^z <= 2^29, so the triple packs losslessly
+    # into one BIGINT with z in the high bits — min(packed) selects
+    # the exact same lexicographic-min row as min(struct(z, x, y)),
+    # but the agg runs as a HashAggregate on a primitive long instead
+    # of a SortAggregate on a struct buffer (round 6: the struct min
+    # forced a sort of the full tiles relation on both sides of the
+    # canon exchange — measured canon_build 6.2 -> ~2 s at z10).
+    use_packed = z <= 29
+    _pk = (F.col("z").cast("long") * F.lit(np.int64(1) << 58)
+           + F.col("x") * F.lit(np.int64(1) << 29) + F.col("y"))
     if broadcast_canon is None or broadcast_canon:
         # the canonical-owner relation, built NARROWLY: only
-        # (tile_id, z, x, y) rows (~32 B) cross the agg shuffle, and
-        # the eager checkpoint (a few MB per million distinct images)
-        # both materializes the lazy apex union for every downstream
-        # consumer and makes the broadcast-decision count free.
-        # Round-5 change (serial-floor work): the decision was
+        # (tile_id, packed_key) rows (~16 B) cross the agg shuffle,
+        # and the eager checkpoint (a few MB per million distinct
+        # images) both materializes the lazy apex union for every
+        # downstream consumer and makes the broadcast-decision count
+        # free.  Round-5 change (serial-floor work): the decision was
         # previously a total-row-count UPPER bound, which at z12
         # (4.42M rows, 1.58M distinct) wrongly forced the min_by
         # fallback whose ~2 GB payload shuffle cost a measured
@@ -596,9 +687,11 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
         # old cutoff; _CANON_BC_CAP bounds the broadcast at 128 MB
         # (torrent-distributed, tiny rows), and truly huge pyramids
         # still fall back to the one-shuffle min_by plan.
-        canon = (rendered.select("tile_id", "z", "x", "y")
+        ckey = _pk.alias("_c") if use_packed \
+            else F.struct("z", "x", "y").alias("_c")
+        canon = (rendered.select("tile_id", ckey)
                  .groupBy("tile_id")
-                 .agg(F.min(F.struct("z", "x", "y")).alias("_c"))
+                 .agg(F.min("_c").alias("_c"))
                  .select(F.col("tile_id").alias("_ctid"), "_c")
                  .localCheckpoint(eager=True))
         t_prof = _prof("canon_build_ckpt", t_prof)
@@ -610,10 +703,11 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
                            < _CANON_BC_CAP)
 
     if broadcast_canon:
+        jkey = _pk if use_packed else F.struct("z", "x", "y")
         images = (rendered.join(
             F.broadcast(canon),
             (F.col("tile_id") == F.col("_ctid"))
-            & (F.struct("z", "x", "y") == F.col("_c")), "inner")
+            & (jkey == F.col("_c")), "inner")
             .select("tile_id", "tile_data", "tile_hex"))
     else:
         # distinct-image relation too big even for _CANON_BC_CAP:

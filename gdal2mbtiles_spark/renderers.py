@@ -100,35 +100,40 @@ def _stitched_idat(arr: np.ndarray, lit_rows: np.ndarray,
     row_bytes = stride + 1                 # + filter byte 0
     out = [_zlib_header(level)]
     s1, s2 = 1, 0
-    lit = np.flatnonzero(lit_rows)
-    # group consecutive lit rows into single segments (keeps zlib's
-    # cross-row matching within a run and caps flush overhead); ONE
-    # compressobj serves every lit segment — Z_FULL_FLUSH empties the
-    # window at each boundary, so segments stay independent of the
-    # pre-compressed blank runs spliced between them
-    breaks = np.flatnonzero(np.diff(lit) > 1) + 1
+    # plain-python grouping of consecutive lit rows (round 6: the
+    # np.diff/np.split group machinery was ~40% of the encode cost at
+    # the typical 1-2 lit rows/tile — BENCH/profile_kernel.py); the
+    # emitted groups, and therefore the bytes, are identical
+    lit = np.flatnonzero(lit_rows).tolist()
     # one filtered-row build for ALL lit rows (compacted), sliced per
     # group below — group members are consecutive in `lit`
     scan_lit = np.empty((len(lit), row_bytes), dtype=np.uint8)
-    if len(lit):
+    if lit:
         scan_lit[:, 0] = 0
         scan_lit[:, 1:] = arr[lit]
+    # ONE compressobj serves every lit segment — Z_FULL_FLUSH empties
+    # the window at each boundary, so segments stay independent of the
+    # pre-compressed blank runs spliced between them
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
     prev_end = 0
-    pos = 0
-    for grp in (np.split(lit, breaks) if len(lit) else ()):
-        start, stop = int(grp[0]), int(grp[-1]) + 1
+    nlit = len(lit)
+    i = 0
+    while i < nlit:
+        j = i + 1
+        while j < nlit and lit[j] == lit[j - 1] + 1:
+            j += 1
+        start, stop = lit[i], lit[j - 1] + 1
         if start > prev_end:
             nblank = start - prev_end
             out.append(_blank_run_segment(row_bytes, nblank, level))
             s2 = (s2 + nblank * row_bytes * s1) % _ADLER_MOD
-        seg_rows = scan_lit[pos:pos + len(grp)].tobytes()
-        pos += len(grp)
+        seg_rows = scan_lit[i:j].tobytes()
         out.append(co.compress(seg_rows))
         out.append(co.flush(zlib.Z_FULL_FLUSH))
         a = zlib.adler32(seg_rows, (s2 << 16) | s1)
         s1, s2 = a & 0xFFFF, (a >> 16) & 0xFFFF
         prev_end = stop
+        i = j
     if prev_end < h:
         nblank = h - prev_end
         out.append(_blank_run_segment(row_bytes, nblank, level))
@@ -168,8 +173,8 @@ def encode_png_rgba(raw: bytes, width: int = TILE_SIDE,
         if lit_hint is not None and len(lit_hint) < height:
             lit_rows = np.zeros(height, dtype=bool)
             if len(lit_hint):
-                lit_rows[np.asarray(lit_hint)] = \
-                    arr[np.asarray(lit_hint)].any(axis=1)
+                hint = np.asarray(lit_hint)
+                lit_rows[hint] = arr[hint].any(axis=1)
         else:
             lit_rows = arr.any(axis=1)
         n_lit = int(lit_rows.sum())
