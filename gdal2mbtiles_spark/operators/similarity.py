@@ -347,9 +347,14 @@ def ann_topk_ivf(emb: DataFrame, n_queries: int = 20, k: int = 10,
                  F.col("embedding").alias("qv"),
                  F.explode(probes(F.col("embedding"))).alias("cluster"))
          .withColumn("qn", F.expr(_norm_spark("qv", dim))))
+    # no dedup exchange (round 6): a vector carries exactly ONE
+    # cluster id and a query's nprobe probe list holds DISTINCT
+    # cluster ids (argsort indices), so a (query, vec) pair can match
+    # at most one probe row — the old dropDuplicates was a no-op that
+    # cost a full shuffle + aggregate.  (ann_topk_lsh keeps its dedup:
+    # there a pair CAN collide in several tables.)
     cand = (v.join(F.broadcast(q), "cluster")
-            .where(F.col("vec_id") != F.col("query_id"))
-            .dropDuplicates(["query_id", "vec_id"]))
+            .where(F.col("vec_id") != F.col("query_id")))
     # hoisted norms: see ann_topk_exact (janino 64 KB method limit)
     cos = F.expr(
         f"coalesce(({_dot_spark('qv', 'embedding', dim)})"

@@ -307,6 +307,18 @@ def estimate_count(df: DataFrame, max_parts: int = 16) -> int:
     relation has <= max_parts partitions the estimate is exact.  Only
     order-of-magnitude accuracy is needed by the auto-res consumer:
     _auto_knn_res quantizes by log4."""
+    # metadata first (round 6): a materialized cache (or any relation
+    # the optimizer has exact statistics for) knows its row count —
+    # zero tasks, zero python-serialized rows.  The bench/ivf inputs
+    # are persisted-and-counted, so this path answers instantly; plain
+    # scans without a rowCount statistic fall through to the bounded
+    # partition sampler.
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
     rdd = df.select(F.lit(1).alias("_one")).rdd
     nparts = rdd.getNumPartitions()
     if nparts == 0:
@@ -396,6 +408,12 @@ def knn_join(points: DataFrame, queries: DataFrame,
         _CAND_COLS = ["query_id", "_qlon", "_qlat", "_k", "_qx", "_qy",
                       "_pid", "_dist"]
         remaining = qbase
+        # queries are the BOUNDED side (the per-iteration done-set was
+        # already driver-broadcast-sized); counting them once lets the
+        # loop detect exhaustion arithmetically instead of paying an
+        # isEmpty() job per iteration (round 6: each iteration ran 4-5
+        # driver-blocking jobs on tiny relations — pure fixed overhead)
+        n_remaining = qbase.count()
         settled = []
         carried = None        # prior top-k rows for still-unsettled queries
         ring, prev = 1, -1
@@ -494,24 +512,33 @@ def knn_join(points: DataFrame, queries: DataFrame,
                           F.max("_dist").alias("_kth")))
             qstate = (remaining.join(stats, "query_id", "left")
                       .withColumn("_guard", guard_km))
-            done_ids = qstate.where(
+            # collect the settled ids (bounded by the query side, the
+            # same driver bound the old broadcast(done_ids) implied):
+            # one job instead of a broadcast-build per consumer, and
+            # the three id joins collapse to literal isin filters
+            done = [r["query_id"] for r in qstate.where(
                 (F.col("_n") >= F.col("_k"))
-                & (F.col("_kth") <= F.col("_guard"))).select("query_id")
-            settled.append(topk.join(F.broadcast(done_ids), "query_id",
-                                     "left_semi")
-                           .withColumn("settled", F.lit(True)))
-            # same plan-truncation rationale as topk: remaining seeds the
-            # next iteration's whole tree
-            remaining = remaining.join(F.broadcast(done_ids), "query_id",
-                                       "left_anti").localCheckpoint(
-                                           eager=True)
-            if remaining.isEmpty():
-                break
-            # carry unsettled queries' current top-k into the next
-            # annulus; derives from two checkpointed leaves, so its plan
-            # stays flat without its own cut
-            carried = (topk.join(F.broadcast(done_ids), "query_id",
-                                 "left_anti").select(*_CAND_COLS))
+                & (F.col("_kth") <= F.col("_guard")))
+                .select("query_id").collect()]
+            if done:
+                settled.append(topk.where(F.col("query_id").isin(done))
+                               .withColumn("settled", F.lit(True)))
+                n_remaining -= len(done)
+                if n_remaining <= 0:
+                    break
+                # same plan-truncation rationale as topk: remaining
+                # seeds the next iteration's whole tree
+                remaining = remaining.where(
+                    ~F.col("query_id").isin(done)).localCheckpoint(
+                        eager=True)
+                # carry unsettled queries' current top-k into the next
+                # annulus; derives from a checkpointed leaf, so its
+                # plan stays flat without its own cut
+                carried = (topk.where(~F.col("query_id").isin(done))
+                           .select(*_CAND_COLS))
+            else:
+                # nothing settled: remaining/qbase are already leaves
+                carried = topk.select(*_CAND_COLS)
             prev, ring = ring, ring * 2
 
         out = settled[0]
