@@ -119,6 +119,8 @@ class PlanStats:
     planned: List[str] = field(default_factory=list)
     # v2 row-level deletes discovered in content=1 (delete) manifests
     position_deletes: List[str] = field(default_factory=list)
+    # sequence number per position-delete file (scope check below)
+    position_delete_seqs: Dict[str, int] = field(default_factory=dict)
     # (path, sequence_number, equality_ids-or-None)
     equality_deletes: List[Tuple[str, int, Optional[Tuple[int, ...]]]] \
         = field(default_factory=list)
@@ -154,9 +156,20 @@ class IcebergTable:
             self.metadata = json.load(fh)
         specs = {s["spec-id"]: s
                  for s in self.metadata.get("partition-specs", [])}
-        spec = specs.get(self.metadata.get("default-spec-id", 0),
-                         {"fields": []})
+        self._default_spec_id = self.metadata.get("default-spec-id", 0)
+        spec = specs.get(self._default_spec_id, {"fields": []})
         self.partition_fields = [f["name"] for f in spec["fields"]]
+        # source types of the partition fields: summary-bound pruning
+        # byte-compares serialized values, which is only valid for
+        # string-typed sources (r05 ADVICE)
+        try:
+            types = {f["id"]: f.get("type")
+                     for f in self.current_schema().get("fields", [])}
+        except (ValueError, AttributeError):
+            types = {}
+        self._partition_source_types = {
+            f["name"]: types.get(f.get("source-id"))
+            for f in spec["fields"]}
 
     # -- snapshots ------------------------------------------------------------
 
@@ -248,6 +261,7 @@ class IcebergTable:
                     p = self._resolve(df_rec["file_path"])
                     if fcontent == 1:
                         stats.position_deletes.append(p)
+                        stats.position_delete_seqs[p] = seq
                     elif fcontent == 2:
                         eq_ids = df_rec.get("equality_ids")
                         stats.equality_deletes.append(
@@ -260,11 +274,38 @@ class IcebergTable:
                     continue
                 stats.files_total += 1
                 part = df_rec.get("partition") or {}
-                if all(part.get(k) == v for k, v in filters.items()):
+                # a real writer stores non-string identity partition
+                # values natively (int/date); comparing them to the
+                # caller's string filter via == is always False and
+                # would prune EVERY file while the DataFrame
+                # re-filter (which casts) matches rows — coerce to a
+                # common string form first (r05 ADVICE)
+                if all(part.get(k) == v
+                       or (part.get(k) is not None
+                           and str(part.get(k)) == str(v))
+                       for k, v in filters.items()):
                     stats.files_planned += 1
                     path_ = self._resolve(df_rec["file_path"])
                     stats.planned.append(path_)
                     stats.data_seqs[path_] = seq
+        # scope check (r05 ADVICE): applying every visible position
+        # delete is exact only for append+delete histories — a data
+        # file with a sequence number ABOVE a delete file's cannot
+        # legally be referenced by it, and on a compacted/rewritten
+        # table a blindly-applied stale delete could drop live rows.
+        # The docstring documents the scope; enforce it audibly.
+        if stats.position_deletes and stats.data_seqs:
+            import warnings
+            min_del = min(stats.position_delete_seqs.values())
+            max_data = max(stats.data_seqs.values())
+            if max_data > min_del:
+                warnings.warn(
+                    "Iceberg scan mixes position deletes (min seq "
+                    f"{min_del}) with newer data files (max seq "
+                    f"{max_data}); position deletes are applied "
+                    "without per-file sequence scoping, which is "
+                    "only exact for append+delete histories",
+                    RuntimeWarning)
         return stats.planned, stats
 
     def _manifest_may_match(self, mf: Dict,
@@ -274,11 +315,24 @@ class IcebergTable:
         the manifest can match."""
         if not filters:
             return True
+        # summaries are positional in the manifest's OWN spec: under
+        # partition-spec evolution they can belong to a different
+        # field layout than the default spec this reader filters on —
+        # a misaligned bound comparison could falsely PROVE exclusion
+        # and silently drop a manifest's files (r05 ADVICE).  Pruning
+        # is an optimization; when in doubt, open the manifest.
+        spec_id = mf.get("partition_spec_id")
+        if spec_id is not None and spec_id != self._default_spec_id:
+            return True
         summaries = mf.get("partitions")
         if not summaries:
             return True                       # no stats -> must open
         for i, name in enumerate(self.partition_fields):
             if name not in filters or i >= len(summaries):
+                continue
+            # bounds hold the raw serialized value: byte order only
+            # matches value order for string sources (r05 ADVICE)
+            if self._partition_source_types.get(name) != "string":
                 continue
             s = summaries[i]
             want = filters[name].encode("utf-8")
@@ -548,9 +602,16 @@ def write_table(df: DataFrame, path: str,
             key, _, val = seg.partition("=")
             if key.startswith("_p_"):
                 # Spark URL-encodes special chars in partition dirs;
-                # the manifest stores the DECODED value
+                # the manifest stores the DECODED value.  A NULL
+                # partition value arrives as the hive sentinel
+                # directory token and must round-trip back to None so
+                # the manifest summaries report contains_null
+                # faithfully (r05 ADVICE)
                 from urllib.parse import unquote
-                part[key[3:]] = unquote(val)
+                dec = unquote(val)
+                part[key[3:]] = (None
+                                 if dec == "__HIVE_DEFAULT_PARTITION__"
+                                 else dec)
         for name in sorted(names):
             if not name.endswith(".parquet"):
                 continue
