@@ -392,12 +392,15 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
         F.shiftright("gx", shift).alias("_ax"),
         F.shiftright("gy", shift).alias("_ay"))
     sc = pixels.sparkSession.sparkContext
-    # 2 partitions/core: the kernel runs in as few waves as possible,
-    # but a single wave (1/core) pays the full task-duration spread
-    # as wall time — at z12/32 cores the min->max spread was
-    # 165->191 s, ~11 s of pure tail; two waves halve it for ~nothing
-    # (per-task fixed cost is one concat+lexsort)
-    p = parallelism or 2 * sc.defaultParallelism
+    # 4 partitions/core (round 6; was 2): a single wave (1/core) pays
+    # the full task-duration spread as wall time, and with the round-6
+    # kernel at ~6-8 s/task the spread is a bigger FRACTION of the
+    # task than it was at r05 task sizes — interleaved A/B at z10
+    # measured 64/128/256 partitions at 21.0/19.4/18.5 s; four waves
+    # keep the tail small while per-task fixed cost (one
+    # concat+lexsort) stays amortized over >=10k pixel rows/task at
+    # bench scale and above
+    p = parallelism or 4 * sc.defaultParallelism
     keyed = keyed.repartition(p, "_ax", "_ay")
     kernel = _phase_kernel(top, bottom, renderer, emit_pixels,
                            out_chunk)
