@@ -526,11 +526,14 @@ def knn_join(points: DataFrame, queries: DataFrame,
                 n_remaining -= len(done)
                 if n_remaining <= 0:
                     break
-                # same plan-truncation rationale as topk: remaining
-                # seeds the next iteration's whole tree
+                # no checkpoint needed any more: remaining is a chain
+                # of literal isin filters over the PERSISTED qbase
+                # leaf (<= max_iters filters), not the old
+                # exponentially-growing join tree — dropping the
+                # eager materialization saves one blocking job per
+                # iteration
                 remaining = remaining.where(
-                    ~F.col("query_id").isin(done)).localCheckpoint(
-                        eager=True)
+                    ~F.col("query_id").isin(done))
                 # carry unsettled queries' current top-k into the next
                 # annulus; derives from a checkpointed leaf, so its
                 # plan stays flat without its own cut
