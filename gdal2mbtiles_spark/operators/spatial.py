@@ -408,12 +408,6 @@ def knn_join(points: DataFrame, queries: DataFrame,
         _CAND_COLS = ["query_id", "_qlon", "_qlat", "_k", "_qx", "_qy",
                       "_pid", "_dist"]
         remaining = qbase
-        # queries are the BOUNDED side (the per-iteration done-set was
-        # already driver-broadcast-sized); counting them once lets the
-        # loop detect exhaustion arithmetically instead of paying an
-        # isEmpty() job per iteration (round 6: each iteration ran 4-5
-        # driver-blocking jobs on tiny relations — pure fixed overhead)
-        n_remaining = qbase.count()
         settled = []
         carried = None        # prior top-k rows for still-unsettled queries
         ring, prev = 1, -1
@@ -512,36 +506,24 @@ def knn_join(points: DataFrame, queries: DataFrame,
                           F.max("_dist").alias("_kth")))
             qstate = (remaining.join(stats, "query_id", "left")
                       .withColumn("_guard", guard_km))
-            # collect the settled ids (bounded by the query side, the
-            # same driver bound the old broadcast(done_ids) implied):
-            # one job instead of a broadcast-build per consumer, and
-            # the three id joins collapse to literal isin filters
-            done = [r["query_id"] for r in qstate.where(
+            done_ids = qstate.where(
                 (F.col("_n") >= F.col("_k"))
-                & (F.col("_kth") <= F.col("_guard")))
-                .select("query_id").collect()]
-            if done:
-                settled.append(topk.where(F.col("query_id").isin(done))
-                               .withColumn("settled", F.lit(True)))
-                n_remaining -= len(done)
-                if n_remaining <= 0:
-                    break
-                # no checkpoint needed any more: remaining is a chain
-                # of literal isin filters over the PERSISTED qbase
-                # leaf (<= max_iters filters), not the old
-                # exponentially-growing join tree — dropping the
-                # eager materialization saves one blocking job per
-                # iteration
-                remaining = remaining.where(
-                    ~F.col("query_id").isin(done))
-                # carry unsettled queries' current top-k into the next
-                # annulus; derives from a checkpointed leaf, so its
-                # plan stays flat without its own cut
-                carried = (topk.where(~F.col("query_id").isin(done))
-                           .select(*_CAND_COLS))
-            else:
-                # nothing settled: remaining/qbase are already leaves
-                carried = topk.select(*_CAND_COLS)
+                & (F.col("_kth") <= F.col("_guard"))).select("query_id")
+            settled.append(topk.join(F.broadcast(done_ids), "query_id",
+                                     "left_semi")
+                           .withColumn("settled", F.lit(True)))
+            # same plan-truncation rationale as topk: remaining seeds the
+            # next iteration's whole tree
+            remaining = remaining.join(F.broadcast(done_ids), "query_id",
+                                       "left_anti").localCheckpoint(
+                                           eager=True)
+            if remaining.isEmpty():
+                break
+            # carry unsettled queries' current top-k into the next
+            # annulus; derives from two checkpointed leaves, so its plan
+            # stays flat without its own cut
+            carried = (topk.join(F.broadcast(done_ids), "query_id",
+                                 "left_anti").select(*_CAND_COLS))
             prev, ring = ring, ring * 2
 
         out = settled[0]
