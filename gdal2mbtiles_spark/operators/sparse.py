@@ -399,8 +399,13 @@ def pyramid_phase_rendered(pixels: DataFrame, top: int, bottom: int,
     # measured 64/128/256 partitions at 21.0/19.4/18.5 s; four waves
     # keep the tail small while per-task fixed cost (one
     # concat+lexsort) stays amortized over >=10k pixel rows/task at
-    # bench scale and above
+    # bench scale and above.  Never more partitions than distinct
+    # ancestor keys (4^bottom): the surplus partitions are provably
+    # empty and each still costs a task launch + python round trip
+    # (the apex-adjacent pass has only 64 keys).
     p = parallelism or 4 * sc.defaultParallelism
+    if bottom < 16:
+        p = min(p, 4 ** bottom)
     keyed = keyed.repartition(p, "_ax", "_ay")
     kernel = _phase_kernel(top, bottom, renderer, emit_pixels,
                            out_chunk)
