@@ -539,11 +539,25 @@ def _render_apex_driver(spark: SparkSession, pixels: DataFrame,
             hx = hashlib.md5(raw).hexdigest()
             rows.append((lvl, t_x, n - 1 - t_y,
                          signed_low64(int(hx, 16)), hx,
-                         bytearray(renderer.render(
+                         bytes(renderer.render(
                              raw, lit_hint=np.unique(ly)))))
         if lvl > bottom:
             gx, gy, ch = _shrink_sparse(gx, gy, ch)
-    return spark.createDataFrame(rows, RENDERED_SCHEMA)
+    # Arrow path (round 6): createDataFrame(list) plans a Python RDD
+    # whose evaluation launches one pickle-deserializing Python worker
+    # per default-parallelism slice — measured 32 near-idle tasks /
+    # ~1.7 s of wall for ~21 apex rows, surfacing inside whatever job
+    # first materializes the lazy apex union (the canon build).  A
+    # pandas frame with exact dtypes goes through Arrow: the driver
+    # serializes one record batch and the scan is a single JVM task.
+    apex_pdf = pd.DataFrame({
+        "z": np.array([r[0] for r in rows], dtype=np.int32),
+        "x": np.array([r[1] for r in rows], dtype=np.int64),
+        "y": np.array([r[2] for r in rows], dtype=np.int64),
+        "tile_id": np.array([r[3] for r in rows], dtype=np.int64),
+        "tile_hex": [r[4] for r in rows],
+        "tile_data": [r[5] for r in rows]})
+    return spark.createDataFrame(apex_pdf, schema=RENDERED_SCHEMA)
 
 
 def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
