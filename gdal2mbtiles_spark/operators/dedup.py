@@ -127,6 +127,18 @@ def _grouped_pairs(long_df: DataFrame, key_cols: Tuple[str, str],
     ``score_expr`` over ``ms[i]``/``ms[j]`` -> narrow (doc_a, doc_b,
     score) rows into the final dedup exchange."""
     k0, k1 = key_cols
+    # Pin the pair-generation parallelism (round 6): the grouped
+    # members EXPLODE into up to cap^2/2 pairs per key, so AQE's
+    # byte-based coalescing of the tiny signature exchange serializes
+    # the whole expansion onto ONE task (measured at bench scale: the
+    # entire window+group+explode stage in a single 0.96 s task —
+    # ~45% of simhash_pairs).  An explicit keyed repartition with a
+    # pinned partition count (REPARTITION_BY_NUM — never coalesced by
+    # AQE) spreads the keys; it hash-clusters on (k0, k1), so the
+    # window and groupBy below reuse it — still one exchange total.
+    # Same device as burn.scatter_tiles' expansion kernel.
+    sc = long_df.sparkSession.sparkContext
+    long_df = long_df.repartition(sc.defaultParallelism, k0, k1)
     w = W.partitionBy(k0, k1).orderBy("doc_id")
     capped = (long_df.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") <= cap))
