@@ -16,6 +16,7 @@ import struct
 from typing import List, Tuple
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..cells import DEFAULT_RES, cells_covering_polygon
@@ -85,20 +86,38 @@ def polygons_df(spark: SparkSession, n: int = 50,
     cells (coarse cover at ``res`` — the J5 broadcast side; scanline
     cover of the polygon itself, not its bbox, so a diagonal sliver
     candidates O(rows) cells instead of O(rows^2))."""
-    rows = []
-    for p, xs, ys in make_polygons(n):
-        cover = cells_covering_polygon(xs, ys, res=res)
-        rows.append((p, bytearray(polygon_wkb(xs, ys)), xs, ys,
-                     [int(c) for c in cover]))
+    polys = make_polygons(n)
+    # Arrow path (round 6): createDataFrame(list) plans a Python RDD
+    # re-evaluated — one near-idle Python-worker wave — by EVERY
+    # action over a join that carries this side (each timed pip/kNN
+    # call, each kNN loop iteration).  A pandas frame with exact
+    # dtypes ships one driver-built Arrow batch instead; doubles and
+    # bytes round-trip bit-exactly, so the oracle-matched vertices
+    # are unchanged.
+    pdf = pd.DataFrame({
+        "poly_id": np.array([p for p, _, _ in polys], dtype=np.int32),
+        "wkb": [bytes(polygon_wkb(xs, ys)) for _, xs, ys in polys],
+        "xs": [xs for _, xs, _ in polys],
+        "ys": [ys for _, _, ys in polys],
+        "cells": [[int(c) for c in
+                   cells_covering_polygon(xs, ys, res=res)]
+                  for _, xs, ys in polys]})
     return spark.createDataFrame(
-        rows, "poly_id int, wkb binary, xs array<double>, "
-              "ys array<double>, cells array<long>")
+        pdf, schema="poly_id int, wkb binary, xs array<double>, "
+                    "ys array<double>, cells array<long>")
 
 
 def query_points_df(spark: SparkSession, n: int = 200) -> DataFrame:
+    pts = make_query_points(n)
+    pdf = pd.DataFrame({
+        "query_id": np.array([q for q, _, _, _ in pts], dtype=np.int32),
+        "lon": np.array([lon for _, lon, _, _ in pts],
+                        dtype=np.float64),
+        "lat": np.array([lat for _, _, lat, _ in pts],
+                        dtype=np.float64),
+        "k": np.array([k for _, _, _, k in pts], dtype=np.int32)})
     return spark.createDataFrame(
-        make_query_points(n),
-        "query_id int, lon double, lat double, k int")
+        pdf, schema="query_id int, lon double, lat double, k int")
 
 
 # --- SQL twins (literal-inlined, for the DuckDB oracle) ---------------------
