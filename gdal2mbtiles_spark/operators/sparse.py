@@ -642,13 +642,18 @@ def sparse_pyramid_rendered(spark: SparkSession, hist: DataFrame,
     # branch below would rescan it otherwise.  When min_resolution
     # cuts the pyramid above the apex (top < min_resolution) no apex
     # level renders — skip the seed, which would be a full
-    # materialization job whose result nothing reads
-    if top >= min_resolution:
-        cur = pixels if top == z else pixels.localCheckpoint(eager=True)
+    # materialization job whose result nothing reads.  Likewise when
+    # NO distributed apex level remains (top <= driver_apex): the
+    # driver apex's toPandas is then the seed's only consumer, so the
+    # checkpoint is a pure extra materialization job — let toPandas
+    # scan the phase-checkpoint filter directly (round 6, ~0.3-0.5 s).
+    driver_apex = 2          # <= (256*2^2)^2 = 1.05M rows, any scale
+    if (top >= min_resolution and top != z
+            and top > driver_apex):
+        cur = pixels.localCheckpoint(eager=True)
     else:
         cur = pixels
     t_prof = _prof("apex_seed_ckpt", t_prof)
-    driver_apex = 2          # <= (256*2^2)^2 = 1.05M rows, any scale
     apex_parts = []
     lvl = top
     while lvl >= min_resolution and lvl > driver_apex:
